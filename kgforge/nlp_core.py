@@ -1,0 +1,168 @@
+"""Pure NLP core shared by the Ray engine and the reference emitter
+(SURVEY §2.B5-B8, C1-C3): SVO pattern bank, alias-dictionary mention
+detection, context-embedding entity linking.
+
+All functions are deterministic and order-independent so the distributed
+pipeline and the single-threaded oracle agree triple-for-triple. The alias
+"gazetteer" (surface→ids, prototypes, same_as edges) is the broadcastable
+resource an actor pool loads once in ``__init__`` (SURVEY §2.D1).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ontology import (
+    EMB_DIM,
+    PRED_BY_NAME,
+    PREDICATES,
+    Ontology,
+    get_ontology,
+    hashed_bow,
+    prototype_embedding,
+)
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    return [t.lower() for t in _TOKEN_RE.findall(text)]
+
+
+def ctx_embedding(sentence: str) -> np.ndarray:
+    """64-dim hashed bag-of-words context embedding (SURVEY §2.B8)."""
+    return hashed_bow(tokenize(sentence))
+
+
+# --- SVO pattern bank (SURVEY §2.B5) ----------------------------------------
+
+
+@dataclass(frozen=True)
+class SvoPattern:
+    pred: str
+    regex: re.Pattern
+    conf: float
+
+
+def _template_to_regex(template: str) -> re.Pattern:
+    """'{s} works for {o}.' → anchored regex with named groups s/o."""
+    out = []
+    pos = 0
+    for m in re.finditer(r"\{[so]\}", template):
+        out.append(re.escape(template[pos:m.start()]))
+        out.append(f"(?P<{template[m.start()+1]}>.+?)")
+        pos = m.end()
+    out.append(re.escape(template[pos:]))
+    return re.compile("^" + "".join(out) + "$")
+
+
+def build_pattern_bank() -> list[SvoPattern]:
+    """Deterministically-ordered pattern bank: first match wins, so every
+    worker and the oracle must iterate in this exact order."""
+    bank: list[SvoPattern] = []
+    for p in sorted(PREDICATES, key=lambda p: p.name):
+        for tmpl in p.templates:
+            bank.append(SvoPattern(p.name, _template_to_regex(tmpl), 1.0))
+    return bank
+
+
+def extract_svo(sentence: str, bank: list[SvoPattern]) -> tuple[str, str, str, float] | None:
+    """First-matching-pattern SVO extraction: sentence →
+    (subj_surface, pred, obj_surface, conf) or None."""
+    for pat in bank:
+        m = pat.regex.match(sentence)
+        if m:
+            return m.group("s"), pat.pred, m.group("o"), pat.conf
+    return None
+
+
+# --- alias gazetteer resource (SURVEY §2.C1-C2, D1) -------------------------
+
+
+@dataclass
+class AliasResource:
+    """The broadcast lookup side: alias dictionary + entity prototypes +
+    sameAs equivalence edges. Built once (driver or actor __init__), shipped
+    via ray.put / fn_constructor_args — never reshuffled per batch."""
+
+    alias_to_ids: dict[str, list[str]]
+    id_type: dict[str, str]
+    proto: dict[str, np.ndarray]
+    same_as: list[tuple[str, str]]
+    mention_re: re.Pattern
+
+    @classmethod
+    def from_ontology(cls, onto: Ontology) -> "AliasResource":
+        alias_to_ids = {a: list(ids) for a, ids in onto.alias_to_ids.items()}
+        id_type = {e.eid: e.etype for e in onto.entities}
+        proto = {e.eid: prototype_embedding(e) for e in onto.entities}
+        # longest-first alternation → leftmost-longest matching, deterministic
+        surfaces = sorted(alias_to_ids, key=lambda s: (-len(s), s))
+        pat = "|".join(re.escape(s) for s in surfaces)
+        mention_re = re.compile(
+            r"(?<![A-Za-z0-9])(?:" + pat + r")(?![A-Za-z0-9])"
+        )
+        return cls(alias_to_ids, id_type, proto, list(onto.same_as), mention_re)
+
+    @classmethod
+    def default(cls, seed: int = 42) -> "AliasResource":
+        return cls.from_ontology(get_ontology(seed))
+
+
+def detect_mentions(sentence: str, res: AliasResource) -> list[tuple[str, int, int]]:
+    """Alias-dictionary scan: non-overlapping leftmost-longest surface
+    matches → (surface, start, end) (SURVEY §2.B6)."""
+    return [(m.group(0), m.start(), m.end()) for m in res.mention_re.finditer(sentence)]
+
+
+def _cos(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.dot(a, b))  # both unit-norm float32
+
+
+def link_surface(
+    surface: str,
+    want_type: str | None,
+    ctx: np.ndarray,
+    res: AliasResource,
+) -> tuple[str | None, float]:
+    """Alias-dictionary + context-embedding linking (SURVEY §2.C2):
+    exact-surface candidates → type filter → max cosine(ctx, prototype) →
+    deterministic lexicographic-min tie-break."""
+    cands = res.alias_to_ids.get(surface)
+    if not cands:
+        return None, 0.0
+    if want_type is not None:
+        cands = [c for c in cands if res.id_type[c] == want_type]
+    if not cands:
+        return None, 0.0
+    if len(cands) == 1:
+        return cands[0], 1.0
+    best_id, best_score = None, -2.0
+    for c in sorted(cands):
+        s = _cos(ctx, res.proto[c])
+        if s > best_score:  # strict > keeps the lexicographic-min on ties
+            best_id, best_score = c, s
+    return best_id, best_score
+
+
+def link_triple(
+    subj_surface: str,
+    pred: str,
+    obj_surface: str,
+    sentence: str,
+    res: AliasResource,
+) -> tuple[str, str, str, float] | None:
+    """Link both ends of a raw SVO triple; drop if either end is unlinkable.
+    Returns (subj_id, pred, obj_id, link_score)."""
+    p = PRED_BY_NAME[pred]
+    ctx = ctx_embedding(sentence)
+    s_id, s_score = link_surface(subj_surface, p.domain, ctx, res)
+    if s_id is None:
+        return None
+    o_id, o_score = link_surface(obj_surface, p.range, ctx, res)
+    if o_id is None:
+        return None
+    return s_id, pred, o_id, min(s_score, o_score)

@@ -1,0 +1,66 @@
+"""The flagship KG-construction pipeline (SURVEY §3.2):
+
+pages → url_norm → exact dedup (shuffle: url_norm) → lang filter →
+extract_text (stateless map_batches, html dropped) → minhash-LSH near-dup
+(shuffle: band_key; union-find on driver) → SvoLinker actor pool
+(broadcast gazetteer) → canonical map (broadcast map join) → two-level
+materialize (shuffle: subj,pred,obj) → deterministic sort.
+
+``run_flagship`` returns lazy Datasets; consume with write_parquet /
+to_pandas / iter_batches. The extracted-docs Dataset is materialized once
+at the branch point because it feeds two consumers (the LSH edge pass and
+the linker); in the checkpointed CLI run (kgforge.run) the same role is
+played by the per-partition docs parquet on disk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray
+
+from ..nlp_core import AliasResource
+from ..ontology import get_ontology
+from ..steps.dedup import apply_drop_set, neardup_drop_set
+from ..steps.extract import add_url_norm, exact_dedup, extract_docs, lang_filter
+from ..steps.link import link_docs
+from ..steps.materialize import (
+    apply_canonical_map,
+    canonical_map_from_same_as,
+    materialize_triples,
+)
+
+
+@dataclass
+class FlagshipResult:
+    docs: "ray.data.Dataset"  # extracted docs (post exact-dedup, lang filter)
+    kept_docs: "ray.data.Dataset"  # post near-dup removal
+    triples: "ray.data.Dataset"  # final sorted graph
+    drop_set: set[str]
+    canonical_map: dict[str, str]
+
+
+def build_docs(pages_ds, langs=("en",)):
+    """pages → extracted docs (B7 → G2 → B2 → B1)."""
+    ds = pages_ds.map_batches(add_url_norm, batch_format="pyarrow")
+    ds = exact_dedup(ds)
+    ds = lang_filter(ds, langs)
+    return extract_docs(ds)
+
+
+def run_flagship(
+    pages_ds,
+    seed: int = 42,
+    resource: AliasResource | None = None,
+    link_concurrency=(2, 8),
+) -> FlagshipResult:
+    res = resource or AliasResource.from_ontology(get_ontology(seed))
+    docs = build_docs(pages_ds).materialize()  # branch point (see module docstring)
+    drop = neardup_drop_set(docs)
+    kept = apply_drop_set(docs, drop)
+    resource_ref = ray.put(res)  # broadcast once; actors ray.get in __init__
+    linked = link_docs(kept, resource_ref=resource_ref, concurrency=link_concurrency)
+    cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))
+    canon = apply_canonical_map(linked, cmap)
+    triples = materialize_triples(canon)
+    return FlagshipResult(docs, kept, triples, drop, cmap)

@@ -1,0 +1,138 @@
+"""SVO extraction + mention detection + entity linking as an actor-pool
+stage (SURVEY §2.B4-B8, C1-C3).
+
+``SvoLinker`` is a callable CLASS for ``map_batches(SvoLinker,
+concurrency=N)``: the compiled pattern bank and the alias gazetteer
+(automaton + prototype embeddings) are built ONCE per actor in
+``__init__`` — never per batch. The gazetteer is the broadcast small side
+of the linking join (SURVEY §2.D1): pass ``resource_ref = ray.put(res)``
+via ``fn_constructor_kwargs`` so the object ships through the object store
+once per node, not once per task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..extract_core import split_sentences
+from ..nlp_core import (
+    AliasResource,
+    build_pattern_bank,
+    ctx_embedding,
+    detect_mentions,
+    extract_svo,
+    link_triple,
+)
+
+
+class SvoLinker:
+    """docs(url_norm, extracted_text) → linked triples
+    (url_norm, sent_idx, subj_id, pred, obj_id, link_score)."""
+
+    def __init__(self, resource_ref=None, seed: int = 42):
+        self.res = (
+            ray.get(resource_ref) if resource_ref is not None else AliasResource.default(seed)
+        )
+        self.bank = build_pattern_bank()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url_norm"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        o_url: list[str] = []
+        o_sent: list[int] = []
+        o_s: list[str] = []
+        o_p: list[str] = []
+        o_o: list[str] = []
+        o_score: list[float] = []
+        for u, text in zip(urls, texts):
+            for si, sent in enumerate(split_sentences(text)):
+                svo = extract_svo(sent, self.bank)
+                if svo is None:
+                    continue
+                linked = link_triple(svo[0], svo[1], svo[2], sent, self.res)
+                if linked is None:
+                    continue
+                s_id, pred, obj_id, score = linked
+                o_url.append(u)
+                o_sent.append(si)
+                o_s.append(s_id)
+                o_p.append(pred)
+                o_o.append(obj_id)
+                o_score.append(score)
+        return pa.table(
+            {
+                "url_norm": pa.array(o_url, pa.string()),
+                "sent_idx": pa.array(o_sent, pa.int32()),
+                "subj_id": pa.array(o_s, pa.string()),
+                "pred": pa.array(o_p, pa.string()),
+                "obj_id": pa.array(o_o, pa.string()),
+                "link_score": pa.array(o_score, pa.float32()),
+            }
+        )
+
+
+class MentionDetector:
+    """Standalone batched mention detection (SURVEY §2.B6): docs → mentions
+    (url_norm, sent_idx, surface, start, end, ctx_embedding[64])."""
+
+    def __init__(self, resource_ref=None, seed: int = 42):
+        self.res = (
+            ray.get(resource_ref) if resource_ref is not None else AliasResource.default(seed)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url_norm"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        o_url, o_sent, o_surf, o_start, o_end, o_emb = [], [], [], [], [], []
+        for u, text in zip(urls, texts):
+            for si, sent in enumerate(split_sentences(text)):
+                ms = detect_mentions(sent, self.res)
+                if not ms:
+                    continue
+                emb = ctx_embedding(sent)
+                for surf, start, end in ms:
+                    o_url.append(u)
+                    o_sent.append(si)
+                    o_surf.append(surf)
+                    o_start.append(start)
+                    o_end.append(end)
+                    o_emb.append(emb)
+        return pa.table(
+            {
+                "url_norm": pa.array(o_url, pa.string()),
+                "sent_idx": pa.array(o_sent, pa.int32()),
+                "surface": pa.array(o_surf, pa.string()),
+                "start": pa.array(o_start, pa.int32()),
+                "end": pa.array(o_end, pa.int32()),
+                "ctx_embedding": pa.array(
+                    [np.asarray(e, dtype=np.float32) for e in o_emb],
+                    pa.list_(pa.float32(), 64),
+                ),
+            }
+        )
+
+
+def link_docs(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 128):
+    """Actor-pool stage: stateful setup amortized across batches."""
+    return docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
+        SvoLinker,
+        fn_constructor_kwargs={"resource_ref": resource_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def detect_mentions_ds(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 128):
+    return docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"resource_ref": resource_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,96 @@
+"""Canonicalization + graph materialization (SURVEY §2.D2, E6-E7, F1,
+§4.3).
+
+Canonical-map application is a broadcast map join (the sameAs component
+map is tiny next to the triple stream). Materialization is the headline
+shuffle: a two-level aggregate — per-batch partial dedup/counts inside
+``map_batches`` (the combiner), then a global ``groupby(subj, pred, obj)``
+over the MUCH smaller partials, then the final deterministic sort. The
+partial level is what keeps Zipf head triples from exploding any single
+reducer: a head triple occurring in 10^5 docs arrives at the reducer as
+one row per upstream batch, not one row per doc (SURVEY §4.3 — this is
+salting by physical batch rather than by an explicit salt column; the
+equality test vs the unsalted path is in tests/).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min, Sum
+
+from ..dedup_core import UnionFind
+
+
+def canonical_map_from_same_as(same_as: list[tuple[str, str]], all_ids: list[str]) -> dict[str, str]:
+    """Union-find over sameAs edges → entity_id → canon_id (min member)."""
+    uf = UnionFind()
+    for a, b in same_as:
+        uf.union(a, b)
+    return {eid: uf.find(eid) for eid in all_ids}
+
+
+def apply_canonical_map(linked_ds, cmap: dict[str, str]):
+    """D2 as a broadcast map join: dictionary-encode via pyarrow, no
+    shuffle. cmap is small (only entities with a sameAs edge need entries —
+    identity mappings can be omitted)."""
+    non_identity = {k: v for k, v in cmap.items() if k != v}
+    if not non_identity:
+        return linked_ds
+    keys = pa.array(list(non_identity.keys()), pa.string())
+    vals = pa.array(list(non_identity.values()), pa.string())
+
+    def _apply(t: pa.Table) -> pa.Table:
+        out = {}
+        for col, name in (("subj_id", "subj_id"), ("obj_id", "obj_id")):
+            idx = pc.index_in(t[col], value_set=keys)
+            mapped = pc.take(vals, idx)
+            out[name] = pc.if_else(pc.is_valid(idx), mapped, t[col])
+        t = t.set_column(t.schema.get_field_index("subj_id"), "subj_id", out["subj_id"])
+        t = t.set_column(t.schema.get_field_index("obj_id"), "obj_id", out["obj_id"])
+        return t
+
+    return linked_ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def _partial_agg(t: pa.Table) -> pa.Table:
+    """Combiner (E7): within-batch distinct (s,p,o,url) → one partial row
+    per (s,p,o) with partial n_sources + min url. (s,p,o,url) is globally
+    distinct because each url lives in exactly one upstream row."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "partial_sources": pa.array([], pa.int64()),
+                "partial_first_url": pa.array([], pa.string()),
+            }
+        )
+    quad = t.select(["subj_id", "pred", "obj_id", "url_norm"]).group_by(
+        ["subj_id", "pred", "obj_id", "url_norm"]
+    ).aggregate([])  # distinct quads
+    out = quad.group_by(["subj_id", "pred", "obj_id"]).aggregate(
+        [("url_norm", "count"), ("url_norm", "min")]
+    )
+    return pa.table(
+        {
+            "subj": out["subj_id"],
+            "pred": out["pred"],
+            "obj": out["obj_id"],
+            "partial_sources": out["url_norm_count"],
+            "partial_first_url": out["url_norm_min"],
+        }
+    )
+
+
+def materialize_triples(linked_ds):
+    """E6+E7+F1: linked triples → final distinct sorted graph
+    (subj, pred, obj, n_sources, first_url)."""
+    partial = linked_ds.map_batches(_partial_agg, batch_format="pyarrow")
+    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("partial_sources", alias_name="n_sources"),
+        Min("partial_first_url", alias_name="first_url"),
+    )
+    return agg.sort(["subj", "pred", "obj"])

@@ -1,0 +1,81 @@
+"""End-to-end conformance: Ray flagship vs single-threaded reference
+emitter (SURVEY §5.2, §5.4.3) — byte-identity, dedup decisions, triple
+P/R, materialized counts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from kgforge.corpus import ground_truth_triples, pages_table
+from kgforge.pipelines.flagship import run_flagship
+from kgforge.reference import run_reference
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return pages_table(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return run_reference(corpus)
+
+
+@pytest.fixture(scope="module")
+def engine(corpus):
+    pages_ds = rd.from_arrow(corpus)
+    return run_flagship(pages_ds)
+
+
+def test_byte_identical_extraction(engine, oracle):
+    eng = {
+        r["url_norm"]: r["extracted_text"]
+        for r in engine.docs.select_columns(["url_norm", "extracted_text"]).take_all()
+    }
+    assert set(eng) == set(oracle.extracted)
+    for u, text in oracle.extracted.items():
+        assert eng[u] == text, f"extraction differs for {u}"
+
+
+def test_neardup_decisions_match(engine, oracle):
+    eng_kept = sorted(set(r["url_norm"] for r in engine.kept_docs.select_columns(["url_norm"]).take_all()))
+    assert eng_kept == oracle.kept_urls
+
+
+def test_triple_pr_vs_reference(engine, oracle):
+    eng_rows = engine.triples.take_all()
+    eng_set = {(r["subj"], r["pred"], r["obj"]) for r in eng_rows}
+    ref_set = oracle.triple_set()
+    tp = len(eng_set & ref_set)
+    precision = tp / max(1, len(eng_set))
+    recall = tp / max(1, len(ref_set))
+    assert precision >= 0.95, f"precision {precision:.3f} vs reference"
+    assert recall >= 0.95, f"recall {recall:.3f} vs reference"
+    # in practice the sets should be identical
+    assert eng_set == ref_set
+
+
+def test_materialized_counts_match(engine, oracle):
+    eng = pd.DataFrame(engine.triples.take_all())
+    ref = oracle.triples_table().to_pandas()
+    eng = eng.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    ref = ref.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng[["subj", "pred", "obj", "n_sources", "first_url"]], ref)
+
+
+def test_output_sorted(engine):
+    rows = engine.triples.take_all()
+    keys = [(r["subj"], r["pred"], r["obj"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_gt_quality(oracle):
+    gt = ground_truth_triples(N_PAGES)
+    ref = oracle.triple_set()
+    tp = len(ref & gt)
+    assert tp / len(ref) > 0.85 and tp / len(gt) > 0.85
