@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (task brief): brute-force
+cosine top-k as the exact baseline (numpy matmul per batch against a
+broadcast query matrix, per-batch partial top-k, driver merge), and an
+IVF (inverted-file) variant as the scale path: coarse k-means centroids
+learned from a seeded sample, rows bucketed by nearest centroid, queries
+probe only the closest ``nprobe`` cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1, norms)
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k for each query row: returns (query_idx, vec_id,
+    cosine, rank). query_vecs is broadcast via closure (small side)."""
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    nq = q.shape[0]
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        cos = mat @ q.T  # (n, nq)
+        qi_out, id_out, c_out = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(nq):
+            top = np.argsort(-cos[:, qi], kind="stable")[:kk]
+            qi_out.extend([qi] * len(top))
+            id_out.extend(ids[top].tolist())
+            c_out.extend(cos[top, qi].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(qi_out, pa.int64()),
+                id_col: pa.array(id_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float32()),
+            }
+        )
+
+    part = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, grp in part.groupby("query_idx"):
+        g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
+
+
+def train_centroids(ds, n_centroids: int = 16, sample_frac: float = 0.2,
+                    seed: int = 3, iters: int = 8, vec_col: str = "embedding") -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the IVF coarse
+    quantizer — small, trained once, then broadcast)."""
+    sample = ds.random_sample(sample_frac, seed=seed).select_columns([vec_col]).take_all()
+    mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Add the IVF cell id (nearest centroid) — the partitioning column a
+    100 TB index would shuffle/write by."""
+    cent = centroids
+
+    def f(t: pa.Table) -> pa.Table:
+        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        cell = (mat @ cent.T).argmax(axis=1)
+        return t.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF search: filter to the nprobe cells nearest each query, then
+    exact cosine within those cells only."""
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted: set[int] = set(probe_cells.flatten().tolist())
+    assigned = ivf_assign(ds, centroids, id_col, vec_col)
+    import pyarrow.compute as pc
+
+    cells_arr = pa.array(sorted(wanted), pa.int64())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=cells_arr)),
+        batch_format="pyarrow",
+    )
+    nq = q.shape[0]
+    cell_sets = [set(probe_cells[qi].tolist()) for qi in range(nq)]
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        cells = t["ivf_cell"].to_numpy()
+        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        qi_out, id_out, c_out = [], [], []
+        for qi in range(nq):
+            mask = np.isin(cells, list(cell_sets[qi]))
+            if not mask.any():
+                continue
+            cos = mat[mask] @ q[qi]
+            sub_ids = ids[mask]
+            top = np.argsort(-cos, kind="stable")[: min(k, mask.sum())]
+            qi_out.extend([qi] * len(top))
+            id_out.extend(sub_ids[top].tolist())
+            c_out.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(qi_out, pa.int64()),
+                id_col: pa.array(id_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float32()),
+            }
+        )
+
+    part = pruned.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, grp in part.groupby("query_idx"):
+        g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])

@@ -273,11 +273,18 @@ def ground_truth_triples(n: int, seed: int = 42) -> set[tuple[str, str, str]]:
 
 
 def ground_truth_dupes(n: int, seed: int = 42) -> list[tuple[str, str]]:
-    """(url_a, url_b) near-duplicate page pairs in [0, n)."""
+    """(url_a, url_b) near-duplicate page pairs in [0, n) whose content is
+    English and well-formed — i.e. the pairs that survive the lang filter
+    and extraction and must be caught by minhash-LSH."""
+    onto = get_ontology(seed)
     out = []
     for i in range(n):
         if i % 37 == 1 and i > 0 and not (i % 53 == 2):
             rng = _page_rng(i - 1, seed)
-            if _page_kind(i - 1, rng) not in ("recrawl",):
-                out.append((page_url(i - 1), page_url(i)))
+            if _page_kind(i - 1, rng) == "recrawl":
+                continue
+            _, facts, lang = _body_and_facts(i - 1, seed, onto)
+            if lang != "en" or not facts:
+                continue  # filtered out (non-English) or malformed (no facts)
+            out.append((page_url(i - 1), page_url(i)))
     return out

@@ -1,0 +1,325 @@
+"""Deduplication operator family over generic (id, text) / (id, vector)
+datasets (task brief: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup). The flagship pipeline's url-keyed variant
+lives in kgforge/steps/dedup.py; these are the reusable forms exposed as
+``queries()`` entries over the driver ``documents``/``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from .dedup_core import (
+    NUM_PERM,
+    UnionFind,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+    sig_jaccard,
+    simhash,
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(ds, id_col: str, text_col: str):
+    """Hash-partition on content, keep min id (G2 generic form)."""
+    return (
+        ds.groupby(text_col)
+        .aggregate(Min(id_col, alias_name="keeper_id"), Count(alias_name="n_copies"))
+    )
+
+
+# --- minhash-LSH ------------------------------------------------------------
+
+
+def _band_rows_generic(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    bks, oids, sigs = [], [], []
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(shingles(t))
+        for bk in lsh_band_keys(sig):
+            bks.append(bk)
+            oids.append(i)
+            sigs.append(sig.astype(np.int64))
+    return pa.table(
+        {
+            "band_key": pa.array(bks, pa.string()),
+            "doc": pa.array([str(x) for x in oids], pa.string()),
+            "sig": pa.array(sigs, pa.list_(pa.int64(), NUM_PERM)),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    n = group.num_rows
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+         "est_jaccard": pa.array([], pa.float64())}
+    )
+    if n < 2:
+        return empty
+    docs = group["doc"].to_pylist()
+    sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
+    a_out, b_out, j_out = [], [], []
+    seen = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            x, y = sorted((docs[i], docs[j]))
+            if x == y or (x, y) in seen:
+                continue
+            seen.add((x, y))
+            jac = sig_jaccard(sigs[i], sigs[j])
+            if jac >= threshold:
+                a_out.append(x)
+                b_out.append(y)
+                j_out.append(round(jac, 4))
+    if not a_out:
+        return empty
+    return pa.table(
+        {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
+         "est_jaccard": pa.array(j_out, pa.float64())}
+    )
+
+
+def minhash_candidate_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7):
+    """MinHash-LSH near-dup pairs (distinct, est_jaccard ≥ threshold).
+    Shuffle key: band_key; verification inside the bucket on signatures."""
+    band = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _band_rows_generic(b, id_col, text_col), batch_format="pyarrow"
+    )
+    pairs = band.groupby("band_key").map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    # same pair can surface from several bands → distinct
+    return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+def minhash_clusters(ds, id_col: str, text_col: str, threshold: float = 0.7) -> dict[str, str]:
+    """Full near-dup clustering: pairs → driver union-find → id→cluster
+    (cluster id = min member). Only ids that belong to some pair appear."""
+    uf = UnionFind()
+    for b in minhash_candidate_pairs(ds, id_col, text_col, threshold).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            uf.union(a, bb)
+    return uf.canonical_map()
+
+
+# --- n-gram Jaccard (exact verification variant) ----------------------------
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, threshold: float = 0.5, k: int = 3):
+    """Exact n-gram Jaccard near-dup pairs. LSH prunes candidates; exact
+    shingle sets are then compared *within the bucket* (shingle sets ride
+    along only for bucketed candidates at test scale; at 100 TB scale use
+    the signature variant instead — documented tradeoff)."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        bks, oids, shs = [], [], []
+        for i, t in zip(ids, texts):
+            sh = shingles(t, k)
+            sig = minhash_signature(sh)
+            # shingle hashes are u64 → wraparound-cast to int64 (consistent
+            # on both sides of the jaccard compare, so set math is unchanged)
+            sh_arr = (
+                np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(np.int64)
+                if sh
+                else np.array([], dtype=np.int64)
+            )
+            for bk in lsh_band_keys(sig):
+                bks.append(bk)
+                oids.append(str(i))
+                shs.append(sh_arr)
+        return pa.table(
+            {
+                "band_key": pa.array(bks, pa.string()),
+                "doc": pa.array(oids, pa.string()),
+                "sh": pa.array([x.tolist() for x in shs], pa.list_(pa.int64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if n < 2:
+            return empty
+        docs = group["doc"].to_pylist()
+        sets_ = [set(x) for x in group["sh"].to_pylist()]
+        a_out, b_out, j_out = [], [], []
+        seen = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                x, y = sorted((docs[i], docs[j]))
+                if x == y or (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                u = len(sets_[i] | sets_[j])
+                jac = (len(sets_[i] & sets_[j]) / u) if u else 1.0
+                if jac >= threshold:
+                    a_out.append(x)
+                    b_out.append(y)
+                    j_out.append(round(jac, 4))
+        if not a_out:
+            return empty
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
+             "jaccard": pa.array(j_out, pa.float64())}
+        )
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
+    """SimHash near-dup: 64-bit fingerprints, bucketed by each of four
+    16-bit bands (any pair within hamming ≤ max_hamming shares ≥1 exact
+    band when max_hamming ≤ 3); verified by exact hamming distance."""
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        bks, oids, fps = [], [], []
+        for i, t in zip(ids, texts):
+            fp = simhash(t)
+            for b in range(4):
+                band_val = (fp >> (16 * b)) & 0xFFFF
+                bks.append(f"{b}:{band_val:04x}")
+                oids.append(str(i))
+                fps.append(fp - (1 << 63))  # shift to int64 range
+        return pa.table(
+            {
+                "band_key": pa.array(bks, pa.string()),
+                "doc": pa.array(oids, pa.string()),
+                "fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        docs = group["doc"].to_pylist()
+        fps = [int(x) + (1 << 63) for x in group["fp"].to_pylist()]
+        a_out, b_out, h_out = [], [], []
+        seen = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                x, y = sorted((docs[i], docs[j]))
+                if x == y or (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                h = bin(fps[i] ^ fps[j]).count("1")
+                if h <= max_hamming:
+                    a_out.append(x)
+                    b_out.append(y)
+                    h_out.append(h)
+        if not a_out:
+            return empty
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
+             "hamming": pa.array(h_out, pa.int64())}
+        )
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+
+def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95, seed: int = 11):
+    """Near-dup by embedding cosine: 16-bit random-hyperplane LSH bucket,
+    exact cosine verification within bucket (two rotated hyperplane sets so
+    borderline pairs split across one bucket boundary still collide)."""
+    rng = np.random.RandomState(seed)
+    planes1 = rng.randn(64, 16).astype(np.float32)
+    planes2 = rng.randn(64, 16).astype(np.float32)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch[id_col].to_pylist()]
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        bks, oids, vecs = [], [], []
+        for pi, planes in enumerate((planes1, planes2)):
+            bits = (mat @ planes) > 0
+            keys = (bits * (1 << np.arange(16))).sum(axis=1)
+            for i, kk in enumerate(keys):
+                bks.append(f"{pi}:{int(kk):04x}")
+                oids.append(ids[i])
+                vecs.append(mat[i])
+        return pa.table(
+            {
+                "band_key": pa.array(bks, pa.string()),
+                "doc": pa.array(oids, pa.string()),
+                "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32(), 64)),
+            }
+        )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if n < 2:
+            return empty
+        docs = group["doc"].to_pylist()
+        mat = np.asarray(group["vec"].to_pylist(), dtype=np.float32)
+        cos = mat @ mat.T
+        a_out, b_out, c_out = [], [], []
+        seen = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                x, y = sorted((docs[i], docs[j]))
+                if x == y or (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                c = float(cos[i, j])
+                if c >= threshold:
+                    a_out.append(x)
+                    b_out.append(y)
+                    c_out.append(round(c, 4))
+        if not a_out:
+            return empty
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
+             "cosine": pa.array(c_out, pa.float64())}
+        )
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))

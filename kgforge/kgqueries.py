@@ -1,0 +1,301 @@
+"""KG-construction + training-data-op queries for the driver contract
+(SURVEY §3.3). These are the genuinely non-SQL-expressible operators
+(rule-based extraction, LSH, union-find, model learning, ANN, multimodal
+plumbing) — exposed as ``queries()`` entries with rows-only driver
+checks, deterministic for a given sf_dir.
+
+The flagship runs on the deterministic synthetic corpus (the driver
+``documents`` table is word-salad text with no SVO structure — the
+synthetic corpus is the contract-shaped input, FIXTURES.md §1). Results
+are cached per corpus size: the driver calls many kg_* entries in one
+process and they share one flagship execution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+KG_QUERY_FNS: dict[str, Callable[[str], Any]] = {}
+
+
+def kgquery(name: str):
+    def deco(fn):
+        KG_QUERY_FNS[name] = fn
+        return fn
+
+    return deco
+
+
+def _n_pages(sf_dir: str) -> int:
+    if "0.1" in sf_dir.rstrip("/")[-6:]:
+        return 2400
+    if "0.01" in sf_dir.rstrip("/")[-7:]:
+        return 1200
+    return 400
+
+
+_CACHE: dict[int, Any] = {}
+
+
+def _flagship(sf_dir: str):
+    from .corpus import pages_dataset
+    from .pipelines.flagship import run_flagship
+
+    n = _n_pages(sf_dir)
+    if n not in _CACHE:
+        res = run_flagship(pages_dataset(n, parallelism=16))
+        res.triples = res.triples.materialize()
+        _CACHE[n] = res
+    return _CACHE[n]
+
+
+@kgquery("kg_triples")
+def kg_triples(sf_dir: str):
+    return _flagship(sf_dir).triples
+
+
+@kgquery("kg_extracted_docs")
+def kg_extracted_docs(sf_dir: str):
+    return (
+        _flagship(sf_dir)
+        .docs.select_columns(["url_norm", "text_sha256", "n_chars"])
+        .sort("url_norm")
+    )
+
+
+@kgquery("kg_mentions")
+def kg_mentions(sf_dir: str):
+    import ray
+
+    from .nlp_core import AliasResource
+    from .steps.link import detect_mentions_ds
+
+    res = _flagship(sf_dir)
+    ref = ray.put(AliasResource.default())
+    m = detect_mentions_ds(res.kept_docs, resource_ref=ref)
+    return m.drop_columns(["ctx_embedding"]).sort(["url_norm", "sent_idx", "start"])
+
+
+@kgquery("kg_canonical_map")
+def kg_canonical_map(sf_dir: str):
+    cmap = _flagship(sf_dir).canonical_map
+    items = sorted(cmap.items())
+    return pa.table(
+        {
+            "entity_id": pa.array([k for k, _ in items], pa.string()),
+            "canon_id": pa.array([v for _, v in items], pa.string()),
+        }
+    )
+
+
+@kgquery("kg_pred_freq")
+def kg_pred_freq(sf_dir: str):
+    from .model.learn import pred_freq
+
+    return pred_freq(_flagship(sf_dir).triples).sort("pred")
+
+
+@kgquery("kg_degree_hist")
+def kg_degree_hist(sf_dir: str):
+    from .model.learn import degree_hist
+
+    res = _flagship(sf_dir)
+    out = degree_hist(res.triples, "out").union(degree_hist(res.triples, "in"))
+    return out.sort(["pred", "direction", "degree"])
+
+
+@kgquery("kg_type_dist")
+def kg_type_dist(sf_dir: str):
+    from .model.learn import type_dist
+    from .nlp_core import AliasResource
+
+    return type_dist(_flagship(sf_dir).triples, AliasResource.default().id_type)
+
+
+@kgquery("kg_domain_range")
+def kg_domain_range(sf_dir: str):
+    from .model.learn import domain_range
+    from .nlp_core import AliasResource
+
+    return domain_range(
+        _flagship(sf_dir).triples, AliasResource.default().id_type
+    ).sort(["pred", "subj_type", "obj_type"])
+
+
+@kgquery("kg_pred_stats")
+def kg_pred_stats(sf_dir: str):
+    from .model.learn import pred_stats
+
+    return pred_stats(_flagship(sf_dir).triples)
+
+
+@kgquery("kg_synth_triples")
+def kg_synth_triples(sf_dir: str):
+    """learn → synthesize round trip (K7): returns the synthesized graph's
+    predicate histogram (deterministic, seeded)."""
+    from .model.learn import learn_model, pred_freq
+    from .model.synth import synthesize
+    from .nlp_core import AliasResource
+
+    model = learn_model(_flagship(sf_dir).triples, AliasResource.default().id_type)
+    syn = synthesize(model, scale=1.0, seed=7)
+    return pred_freq(syn).sort("pred")
+
+
+# --- dedup family over the synthetic corpus docs ---------------------------
+
+
+@kgquery("dedup_minhash_pairs")
+def dedup_minhash_pairs(sf_dir: str):
+    from .dedup_ops import minhash_candidate_pairs
+
+    docs = _flagship(sf_dir).docs
+    return minhash_candidate_pairs(docs, "url_norm", "extracted_text", 0.7).sort(["a", "b"])
+
+
+@kgquery("dedup_simhash_pairs")
+def dedup_simhash_pairs(sf_dir: str):
+    from .dedup_ops import simhash_pairs
+
+    docs = _flagship(sf_dir).docs
+    return simhash_pairs(docs, "url_norm", "extracted_text", max_hamming=3).sort(["a", "b"])
+
+
+@kgquery("dedup_ngram_jaccard_pairs")
+def dedup_ngram_jaccard_pairs(sf_dir: str):
+    from .dedup_ops import ngram_jaccard_pairs
+
+    docs = _flagship(sf_dir).docs
+    return ngram_jaccard_pairs(docs, "url_norm", "extracted_text", 0.5).sort(["a", "b"])
+
+
+@kgquery("dedup_embedding_pairs")
+def dedup_embedding_pairs(sf_dir: str):
+    from .dedup_ops import embedding_neardup_pairs
+    from .relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.9).sort(["a", "b"])
+
+
+# --- text analysis over the driver documents table -------------------------
+
+
+@kgquery("text_quality_scores")
+def text_quality_scores(sf_dir: str):
+    from .relational import read
+    from .textops import add_quality
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality(ds, "text").drop_columns(["text"]).sort("doc_id")
+
+
+@kgquery("text_lang_id")
+def text_lang_id(sf_dir: str):
+    """Language-ID over the synthetic corpus (documents-table text carries
+    no language signal); returns per-(gt, predicted) counts."""
+    from ray.data.aggregate import Count
+
+    from .corpus import pages_dataset
+    from .textops import add_lang_id
+
+    pages = pages_dataset(_n_pages(sf_dir), parallelism=8).select_columns(["url", "html", "lang"])
+    from .steps.extract import extract_docs_batch
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.append_column("url_norm", t["url"])
+        t = t.append_column("warc_ts", pa.array([None] * t.num_rows, pa.timestamp("us")))
+        t = t.append_column("text", pa.array([""] * t.num_rows, pa.string()))
+        return extract_docs_batch(t)
+
+    docs = pages.map_batches(prep, batch_format="pyarrow")
+    pred = add_lang_id(docs, "extracted_text", "lang_pred")
+    return (
+        pred.groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["lang", "lang_pred"])
+    )
+
+
+@kgquery("text_fingerprints")
+def text_fingerprints(sf_dir: str):
+    from .relational import read
+    from .textops import add_fingerprint
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(ds, "text").drop_columns(["text"]).sort("doc_id")
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def _query_vecs(sf_dir: str, ids=(0, 1, 2)) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by_id = {r["vec_id"]: r["embedding"] for r in t.slice(0, 50).to_pylist()}
+    return np.asarray([by_id[i] for i in ids], dtype=np.float32)
+
+
+@kgquery("ann_brute_topk")
+def ann_brute_topk(sf_dir: str):
+    from .ann import brute_force_topk
+    from .relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _query_vecs(sf_dir), k=10)
+    out["cosine"] = out["cosine"].astype(np.float64).round(3)
+    return out[["query_idx", "vec_id", "rank", "cosine"]]
+
+
+@kgquery("ann_ivf_topk")
+def ann_ivf_topk(sf_dir: str):
+    from .ann import ivf_topk, train_centroids
+    from .relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = train_centroids(ds, n_centroids=16, seed=3)
+    out = ivf_topk(ds, cent, _query_vecs(sf_dir), k=10, nprobe=4)
+    out["cosine"] = out["cosine"].astype(np.float64).round(3)
+    return out[["query_idx", "vec_id", "rank", "cosine"]]
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+@kgquery("media_decode_features")
+def media_decode_features(sf_dir: str):
+    import ray.data as rd
+
+    from .multimodal import decode_media, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(120))
+    feats = decode_media(ds, concurrency=(1, 2), batch_size=32)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        dims = [len(f) for f in t["features"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "feature_dim": pa.array(dims, pa.int64()),
+                "decoded_fake": t["decoded_fake"],
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow").sort("media_id")
+
+
+@kgquery("media_frame_sample")
+def media_frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from .multimodal import frame_sample_stub, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(120))
+    return frame_sample_stub(ds, every_ms=1000).sort(["media_id", "frame_ms"])

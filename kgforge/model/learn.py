@@ -1,0 +1,154 @@
+"""KBModel learning (SURVEY §2.E1-E4, K1-K5): distribution histograms of a
+triple graph, computed as Ray Data aggregates.
+
+The reference KBModel's M1/M2 statistics map to:
+  K1 type_dist     — entity-type frequency (types from the gazetteer)
+  K2 pred_freq     — facts per predicate (relation distribution)
+  K3 domain_range  — per-pred (subj_type, obj_type) fact counts
+  K4 degree_hist   — per-pred out/in degree histograms + functionality /
+                     inverse-functionality scalars
+  K5 pred_stats    — distinct-subject/object counts, reflexive fact count
+
+All of these are groupby-aggregates over the (already-distinct) triples
+Dataset; the first-level keys (pred, subj) / (pred, obj) are bounded by
+the entity vocabulary, so the shuffles are small next to the corpus
+stages. Entity→type lookups are broadcast maps, never joins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count
+
+
+def _rename(ds, mapping: dict[str, str]):
+    return ds.map_batches(
+        lambda t, m=mapping: t.rename_columns([m.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def pred_freq(triples_ds):
+    """K2: (pred, n_facts)."""
+    out = triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts"))
+    return out.select_columns(["pred", "n_facts"])
+
+
+def degree_hist(triples_ds, direction: str = "out"):
+    """K4: (pred, direction, degree, n_entities). degree of an entity under
+    pred = #distinct counterpart entities (triples are already distinct)."""
+    key = "subj" if direction == "out" else "obj"
+    lvl1 = triples_ds.groupby(["pred", key]).aggregate(Count(alias_name="degree"))
+    out = lvl1.groupby(["pred", "degree"]).aggregate(Count(alias_name="n_entities"))
+    return out.map_batches(
+        lambda t, d=direction: pa.table(
+            {
+                "pred": t["pred"],
+                "direction": pa.array([d] * t.num_rows, pa.string()),
+                "degree": pc.cast(t["degree"], pa.int64()),
+                "n_entities": t["n_entities"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _map_type(col: pa.ChunkedArray, id_type: dict[str, str]) -> pa.Array:
+    keys = pa.array(list(id_type.keys()), pa.string())
+    vals = pa.array(list(id_type.values()), pa.string())
+    idx = pc.index_in(col, value_set=keys)
+    mapped = pc.take(vals, idx)
+    return pc.if_else(pc.is_valid(idx), mapped, pa.scalar("unknown", pa.string()))
+
+
+def type_dist(triples_ds, id_type: dict[str, str]):
+    """K1: (type_set, n_entities) over entities appearing in the graph.
+    Our entities carry exactly one type, so type_set is the single type
+    name (kbgen's multi-type sets degenerate to singletons here)."""
+    subj = triples_ds.select_columns(["subj"]).map_batches(
+        lambda t: pa.table({"entity": t["subj"]}), batch_format="pyarrow"
+    )
+    obj = triples_ds.select_columns(["obj"]).map_batches(
+        lambda t: pa.table({"entity": t["obj"]}), batch_format="pyarrow"
+    )
+    ents = subj.union(obj).unique("entity")
+    tbl = pa.table({"entity": pa.array(sorted(ents), pa.string())})
+    typed = pa.table({"type_set": _map_type(tbl["entity"], id_type)})
+    df = typed.to_pandas().groupby("type_set").size().reset_index(name="n_entities")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def domain_range(triples_ds, id_type: dict[str, str]):
+    """K3: (pred, subj_type, obj_type, n_facts) via broadcast type map."""
+    typed = triples_ds.map_batches(
+        lambda t, m=id_type: pa.table(
+            {
+                "pred": t["pred"],
+                "subj_type": _map_type(t["subj"], m),
+                "obj_type": _map_type(t["obj"], m),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return typed.groupby(["pred", "subj_type", "obj_type"]).aggregate(
+        Count(alias_name="n_facts")
+    )
+
+
+def pred_stats(triples_ds):
+    """K4/K5 scalars per predicate: n_facts, distinct subj/obj counts,
+    functionality = n_facts/n_subj, inverse functionality, reflexive count."""
+    df = triples_ds.select_columns(["subj", "pred", "obj"]).to_pandas()
+    g = df.groupby("pred")
+    out = pd.DataFrame(
+        {
+            "n_facts": g.size(),
+            "n_subj": g["subj"].nunique(),
+            "n_obj": g["obj"].nunique(),
+            "n_reflexive": g.apply(lambda x: int((x["subj"] == x["obj"]).sum())),
+        }
+    ).reset_index()
+    out["functionality"] = (out["n_facts"] / out["n_subj"]).round(4)
+    out["inv_functionality"] = (out["n_facts"] / out["n_obj"]).round(4)
+    return out
+
+
+def learn_model(triples_ds, id_type: dict[str, str]) -> dict[str, pd.DataFrame]:
+    """Full KBModel: all histograms as small pandas frames (each is
+    bounded by |preds| × |degree buckets|, tiny next to the graph)."""
+
+    def pdf(x):
+        return x.to_pandas() if not isinstance(x, (pd.DataFrame, pa.Table)) else (
+            x.to_pandas() if isinstance(x, pa.Table) else x
+        )
+
+    return {
+        "pred_freq": pdf(pred_freq(triples_ds)),
+        "degree_out": pdf(degree_hist(triples_ds, "out")),
+        "degree_in": pdf(degree_hist(triples_ds, "in")),
+        "type_dist": pdf(type_dist(triples_ds, id_type)),
+        "domain_range": pdf(domain_range(triples_ds, id_type)),
+        "pred_stats": pred_stats(triples_ds),
+    }
+
+
+def write_model(model: dict[str, pd.DataFrame], out_dir: str) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in model.items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{out_dir}/{name}.parquet")
+
+
+def read_model(model_dir: str) -> dict[str, pd.DataFrame]:
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name in ["pred_freq", "degree_out", "degree_in", "type_dist", "domain_range", "pred_stats"]:
+        out[name] = pq.read_table(f"{model_dir}/{name}.parquet").to_pandas()
+    return out

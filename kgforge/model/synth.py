@@ -1,0 +1,117 @@
+"""KB synthesis from a learned KBModel (SURVEY §2.K7) — the reference
+tool's generate step, seeded + vectorized.
+
+For each predicate: draw an out-degree sequence for fresh subjects and an
+in-degree sequence for fresh objects from the learned histograms (scaled),
+pair subject slots with a seeded permutation of object slots, drop
+reflexive + duplicate pairs. Entity counts come from the scaled type
+distribution; domain/range types from the learned domain_range table.
+
+Per-predicate generation is independent → embarrassingly parallel (one
+Ray task per predicate at real scale); the driver-side numpy here is the
+small-model path, returned as a Dataset via ``from_arrow`` blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..extract_core import stable_u64
+
+
+def _sample_degrees(rng: np.random.RandomState, hist: pd.DataFrame, n_slots_target: int) -> np.ndarray:
+    """Draw degrees iid from the (degree, n_entities) histogram until the
+    total fact count reaches the target; returns the degree sequence."""
+    degrees = hist["degree"].to_numpy()
+    weights = hist["n_entities"].to_numpy().astype(np.float64)
+    probs = weights / weights.sum()
+    mean_deg = float((degrees * probs).sum())
+    n_draw = max(1, int(np.ceil(n_slots_target / max(mean_deg, 1e-9) * 1.3)) + 8)
+    seq = rng.choice(degrees, size=n_draw, p=probs)
+    cum = np.cumsum(seq)
+    cut = int(np.searchsorted(cum, n_slots_target))
+    seq = seq[: cut + 1]
+    if len(seq) == 0:
+        seq = np.array([n_slots_target], dtype=np.int64)
+    # trim the last entity's degree so totals match exactly
+    overshoot = int(seq.sum()) - n_slots_target
+    if overshoot > 0:
+        seq[-1] = max(1, seq[-1] - overshoot)
+    return seq.astype(np.int64)
+
+
+def synthesize(model: dict[str, pd.DataFrame], scale: float = 1.0, seed: int = 7):
+    """model → synthetic triples Dataset (subj, pred, obj), distinct."""
+    import ray.data as rd
+
+    type_dist = model["type_dist"]
+    domain_range = model["domain_range"]
+    pred_freq = model["pred_freq"]
+    degree_out = model["degree_out"]
+    degree_in = model["degree_in"]
+
+    # --- entities per type (K1 scaled) ---------------------------------
+    ents_by_type: dict[str, np.ndarray] = {}
+    for _, row in type_dist.iterrows():
+        t = row["type_set"]
+        n = max(1, int(round(row["n_entities"] * scale)))
+        ents_by_type[t] = np.array([f"syn_{t}_{i:07d}" for i in range(n)])
+
+    tables: list[pa.Table] = []
+    for _, prow in pred_freq.sort_values("pred").iterrows():
+        pred = prow["pred"]
+        n_target = max(1, int(round(prow["n_facts"] * scale)))
+        rng = np.random.RandomState((seed + stable_u64(pred, "synth")) % (2**31))
+        dr = domain_range[domain_range["pred"] == pred]
+        if dr.empty:
+            continue
+        # dominant (subj_type, obj_type) signature per predicate
+        top = dr.sort_values("n_facts", ascending=False).iloc[0]
+        s_pool = ents_by_type.get(top["subj_type"])
+        o_pool = ents_by_type.get(top["obj_type"])
+        if s_pool is None or o_pool is None:
+            continue
+        h_out = degree_out[degree_out["pred"] == pred]
+        h_in = degree_in[degree_in["pred"] == pred]
+        if h_out.empty or h_in.empty:
+            continue
+        out_seq = _sample_degrees(rng, h_out, n_target)
+        in_seq = _sample_degrees(rng, h_in, n_target)
+        subs = rng.choice(s_pool, size=len(out_seq), replace=False if len(out_seq) <= len(s_pool) else True)
+        objs = rng.choice(o_pool, size=len(in_seq), replace=False if len(in_seq) <= len(o_pool) else True)
+        s_slots = np.repeat(subs, out_seq)
+        o_slots = np.repeat(objs, in_seq)
+        n = min(len(s_slots), len(o_slots))
+        s_slots, o_slots = s_slots[:n], o_slots[rng.permutation(len(o_slots))[:n]]
+        keep = s_slots != o_slots  # non-reflexiveness (M2)
+        s_slots, o_slots = s_slots[keep], o_slots[keep]
+        df = pd.DataFrame({"subj": s_slots, "obj": o_slots}).drop_duplicates()
+        tables.append(
+            pa.table(
+                {
+                    "subj": pa.array(df["subj"], pa.string()),
+                    "pred": pa.array([pred] * len(df), pa.string()),
+                    "obj": pa.array(df["obj"], pa.string()),
+                }
+            )
+        )
+    if not tables:
+        empty = pa.table(
+            {"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()), "obj": pa.array([], pa.string())}
+        )
+        return rd.from_arrow(empty)
+    return rd.from_arrow(tables)
+
+
+def synth_id_type(model: dict[str, pd.DataFrame]) -> dict[str, str]:
+    """Type lookup for synthesized entities (their type is embedded in the
+    id: syn_{type}_{i})."""
+    out = {}
+    for _, row in model["type_dist"].iterrows():
+        t = row["type_set"]
+        n = max(1, int(round(row["n_entities"])))
+        for i in range(n * 4):  # cover scales up to 4x for tests
+            out[f"syn_{t}_{i:07d}"] = t
+    return out

@@ -1,0 +1,659 @@
+"""Relational operator suite over the driver testdata tables
+(SURVEY §2.D3, E5, F2-F3, B10, H, I1) — each query has a Ray Data
+implementation and a matching DuckDB oracle SQL string with IDENTICAL
+output column names (driver hash-compares values after sorting columns
+by name).
+
+Float policy: every float aggregate is rounded (usually 2 decimals) in
+BOTH implementations so parallel-summation ulp noise cannot flip the
+value hash.
+
+Scale notes: dimension tables (region/nation/customer/part) are
+broadcast-joined (driver-side pandas merge inside map_batches — ships
+once per task via closure over the small table); the lineitem⋈orders
+join uses the hash-shuffle ``Dataset.join``. Reads prune columns.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+QUERY_FNS: dict[str, Callable[[str], Any]] = {}
+QUERY_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if sql is not None:
+            QUERY_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _strip_meta(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def read(sf_dir: str, name: str, columns: list[str] | None = None):
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
+def read_pd(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read of a SMALL dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
+def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# aggregations (E5/E7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+    return _round_cols(
+        out.to_pandas(), {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2}
+    )
+
+
+@query(
+    "q_part_brand_stats",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS total_price,
+           max(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(sf_dir: str):
+    ds = read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("p_retailprice", alias_name="total_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+    return _round_cols(out.to_pandas(), {"total_price": 2})
+
+
+@query(
+    "q_date_parts",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY yr, mo
+    """,
+)
+def q_date_parts(sf_dir: str):
+    ds = read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "mo": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["yr", "mo"]).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return _round_cols(out.to_pandas(), {"total": 2})
+
+
+@query(
+    "q_distinct_part_types",
+    "SELECT DISTINCT p_type FROM part",
+)
+def q_distinct_part_types(sf_dir: str):
+    ds = read(sf_dir, "part", ["p_type"])
+    vals = sorted(ds.unique("p_type"))
+    return pa.table({"p_type": pa.array(vals, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# joins (D3/D4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lineitem_orders_join",
+    """
+    SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    """,
+)
+def q_lineitem_orders_join(sf_dir: str):
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    od = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = li.join(od, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = j.groupby(["o_orderstatus", "l_returnflag"]).aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="total_qty")
+    )
+    return _round_cols(out.to_pandas(), {"total_qty": 2})
+
+
+@query(
+    "q_revenue_by_segment",
+    """
+    SELECT c_mktsegment, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_revenue_by_segment(sf_dir: str):
+    # dimension side (customer) broadcast into orders, then big-big join
+    cust = read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    od = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    od = od.map_batches(
+        lambda df: df.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+            ["o_orderkey", "c_mktsegment"]
+        ],
+        batch_format="pandas",
+    )
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_raw": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.join(od, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_items"), Sum("revenue_raw", alias_name="revenue")
+    )
+    return _round_cols(out.to_pandas(), {"revenue": 2})
+
+
+@query(
+    "q_customer_nation_region",
+    """
+    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_customer_nation_region(sf_dir: str):
+    nation = read_pd(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = read_pd(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    cust = read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    j = cust.map_batches(
+        lambda df: df.merge(dim, left_on="c_nationkey", right_on="n_nationkey")[
+            ["r_name", "c_acctbal"]
+        ],
+        batch_format="pandas",
+    )
+    out = j.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+    return _round_cols(out.to_pandas(), {"total_acctbal": 2})
+
+
+@query(
+    "q_supplier_nation",
+    """
+    SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_supplier_nation(sf_dir: str):
+    nation = read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    sup = read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    j = sup.map_batches(
+        lambda df: df.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+            ["n_name", "s_acctbal"]
+        ],
+        batch_format="pandas",
+    )
+    out = j.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
+    )
+    return _round_cols(out.to_pandas(), {"total_acctbal": 2})
+
+
+@query(
+    "q_semi_join_active_customers",
+    """
+    SELECT c_nationkey, count(*) AS n_active
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def q_semi_join_active_customers(sf_dir: str):
+    # broadcast semi-join (SURVEY §2.D4): distinct order custkeys → filter
+    keys = read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    key_arr = pa.array(sorted(keys), pa.int64())
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=key_arr)),
+        batch_format="pyarrow",
+    )
+    return cust.groupby("c_nationkey").aggregate(Count(alias_name="n_active")).to_pandas()
+
+
+@query(
+    "q_anti_join_inactive_customers",
+    """
+    SELECT c_nationkey, count(*) AS n_inactive
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def q_anti_join_inactive_customers(sf_dir: str):
+    keys = read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    key_arr = pa.array(sorted(keys), pa.int64())
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=key_arr))),
+        batch_format="pyarrow",
+    )
+    out = cust.groupby("c_nationkey").aggregate(Count(alias_name="n_inactive")).to_pandas()
+    if out.empty:  # empty aggregate loses its schema — restore the contract columns
+        out = pd.DataFrame({"c_nationkey": pd.Series(dtype="int64"),
+                            "n_inactive": pd.Series(dtype="int64")})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / limit (F)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_top_customers",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    )
+    # round BEFORE sorting so engine/oracle use the same sort key
+    agg = agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_spent"),
+            "total_spent",
+            pc.round(t["total_spent"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+    out = agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    # pc.round and DuckDB round can land on different nearest-doubles;
+    # numpy/pandas round matches DuckDB on these magnitudes — re-round.
+    return _round_cols(out, {"total_spent": 2})
+
+
+@query(
+    "q_topk_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY price DESC, l_orderkey, l_linenumber
+    LIMIT 5
+    """,
+)
+def q_topk_lineitems(sf_dir: str):
+    ds = read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price": pc.round(t["l_extendedprice"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.sort(["price", "l_orderkey", "l_linenumber"], descending=[True, False, False]).limit(5).to_pandas()
+    return _round_cols(out, {"price": 2})
+
+
+# ---------------------------------------------------------------------------
+# projections / scalar functions (B9, H)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_ops",
+    """
+    SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+)
+def q_string_ops(sf_dir: str):
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "name_upper": pc.utf8_upper(t["c_name"]),
+                "name_len": pc.cast(pc.utf8_length(t["c_name"]), pa.int64()),
+                "name_prefix": pc.utf8_slice_codeunits(t["c_name"], 0, 8),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "q_parts_filter",
+    """
+    SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS price
+    FROM part WHERE p_size >= 40
+    """,
+)
+def q_parts_filter(sf_dir: str):
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_name": t["p_name"],
+                "p_size": t["p_size"],
+                "price": pc.round(t["p_retailprice"], ndigits=2),
+            }
+        ).filter(pc.greater_equal(t["p_size"], 40)),
+        batch_format="pyarrow",
+    ).to_pandas().pipe(_round_cols, {"price": 2})
+
+
+@query(
+    "q_union_all_names",
+    """
+    SELECT name FROM (
+      SELECT r_name AS name FROM region
+      UNION ALL
+      SELECT n_name AS name FROM nation
+    )
+    """,
+)
+def q_union_all_names(sf_dir: str):
+    r = read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow"
+    )
+    n = read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow"
+    )
+    return r.union(n)
+
+
+# ---------------------------------------------------------------------------
+# events: windows + json (I1, B10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def q_events_hourly(sf_dir: str):
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["window_start", "event_type"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+    return _round_cols(out.to_pandas(), {"total_value": 2})
+
+
+@query(
+    "q_events_user_daily",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id, day
+    """,
+)
+def q_events_user_daily(sf_dir: str):
+    ds = read(sf_dir, "events", ["ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["user_id", "day"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+    return _round_cols(out.to_pandas(), {"total_value": 2})
+
+
+@query(
+    "q_events_json",
+    """
+    SELECT json_extract(props, '$.k')::BIGINT AS k,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY k
+    """,
+)
+def q_events_json(sf_dir: str):
+    ds = read(sf_dir, "events", ["props", "value"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        return pa.table({"k": pa.array(ks, pa.int64()), "value": t["value"]})
+
+    out = ds.map_batches(parse, batch_format="pyarrow").groupby("k").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    )
+    return _round_cols(out.to_pandas(), {"total_value": 2})
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (text + vector ops with SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_token_counts",
+    """
+    SELECT doc_id,
+           array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           n_chars
+    FROM documents WHERE n_chars > 0
+    """,
+)
+def q_doc_token_counts(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        pc.utf8_trim_whitespace(t["text"]), pattern=r"\S+"
+                    ),
+                    pa.int64(),
+                ),
+                "n_chars": t["n_chars"],
+            }
+        ).filter(pc.greater(t["n_chars"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "q_doc_lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_lang_stats(sf_dir: str):
+    ds = read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return out.to_pandas()
+
+
+@query(
+    "q_doc_source_breakdown",
+    "SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang",
+)
+def q_doc_source_breakdown(sf_dir: str):
+    ds = read(sf_dir, "documents", ["source", "lang"])
+    return ds.groupby(["source", "lang"]).aggregate(Count(alias_name="n_docs")).to_pandas()
+
+
+@query(
+    "q_doc_exact_dedup",
+    """
+    SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_doc_exact_dedup(sf_dir: str):
+    # exact dedup = hash-partition by content, keep min id per group (G2)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.groupby("text")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+
+
+@query(
+    "q_embed_label_counts",
+    "SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label",
+)
+def q_embed_label_counts(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n_vecs")).to_pandas()
+
+
+@query(
+    "q_embed_topk_cosine",
+    """
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY c DESC, vec_id
+      LIMIT 10
+    )
+    """,
+)
+def q_embed_topk_cosine(sf_dir: str):
+    """Brute-force cosine ANN baseline (task brief: similarity search):
+    broadcast query vector, numpy matmul per batch, per-batch top-k,
+    driver merges the tiny partials."""
+    import pyarrow.parquet as pq
+
+    qvec = np.asarray(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py(),
+        dtype=np.float32,
+    )
+    qnorm = qvec / np.linalg.norm(qvec)
+    k = 10
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        mask = ids != 0
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)[mask]
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "c": pa.array([], pa.float32())})
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qnorm) / np.where(norms == 0, 1, norms)
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "c": pa.array(cos[top], pa.float32())}
+        )
+
+    part = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(["c", "vec_id"], ascending=[False, True]).head(k)
+    return part[["vec_id"]].reset_index(drop=True)

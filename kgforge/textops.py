@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+All vectorized per batch; usable on any (id, text) columns.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .corpus import LANG_WORDS
+from .extract_core import stable_u64
+
+_EN_STOP = {
+    "the", "and", "of", "a", "to", "in", "is", "was", "for", "on", "with",
+    "as", "by", "at", "an", "be", "this", "that", "from", "it", "are",
+}
+# language → marker word set (the de/es/fr/zh pools from the corpus module
+# double as detection gazetteers; a real deployment would load char-n-gram
+# profiles the same way — in actor __init__).
+_LANG_MARKERS = {lang: set(words) for lang, words in LANG_WORDS.items()}
+
+
+def lang_id_text(text: str) -> str:
+    """n-gram/marker-word language heuristic: highest marker hit-rate wins;
+     'en' on stopword evidence; 'und' if nothing matches."""
+    toks = text.lower().split()
+    if not toks:
+        return "und"
+    # CJK check first (zh markers are substrings, not space-separated)
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk >= max(2, len(text) // 20):
+        return "zh"
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        if lang == "zh":
+            continue
+        scores[lang] = sum(1 for t in toks if t in markers) / len(toks)
+    scores["en"] = sum(1 for t in toks if t in _EN_STOP) / len(toks)
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] > 0.05 else "und"
+
+
+def add_lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_col, pa.array([lang_id_text(x) for x in t[text_col].to_pylist()], pa.string())
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality features: n_chars, n_tokens, punct ratio, stopword ratio,
+    distinct-token ratio, mean token length + composite [0,1] score."""
+    texts = t[text_col].to_pylist()
+    n_chars, n_tokens, punct_r, stop_r, distinct_r, mean_len, score = [], [], [], [], [], [], []
+    for x in texts:
+        toks = x.lower().split()
+        nt = len(toks)
+        nc = len(x)
+        np_ = sum(1 for ch in x if not ch.isalnum() and not ch.isspace())
+        sr = (sum(1 for tk in toks if tk in _EN_STOP) / nt) if nt else 0.0
+        dr = (len(set(toks)) / nt) if nt else 0.0
+        ml = (sum(len(tk) for tk in toks) / nt) if nt else 0.0
+        pr = np_ / nc if nc else 0.0
+        # composite: long enough, not punct-heavy, some stopwords, diverse
+        s = 0.0
+        if nt:
+            s = (
+                min(1.0, nt / 50.0) * 0.3
+                + (1.0 - min(1.0, pr * 4)) * 0.2
+                + min(1.0, sr * 5) * 0.2
+                + dr * 0.2
+                + (1.0 if 3.0 <= ml <= 9.0 else 0.5) * 0.1
+            )
+        n_chars.append(nc)
+        n_tokens.append(nt)
+        punct_r.append(round(pr, 4))
+        stop_r.append(round(sr, 4))
+        distinct_r.append(round(dr, 4))
+        mean_len.append(round(ml, 4))
+        score.append(round(s, 4))
+    return t.append_column("n_chars_q", pa.array(n_chars, pa.int64())) \
+        .append_column("n_tokens", pa.array(n_tokens, pa.int64())) \
+        .append_column("punct_ratio", pa.array(punct_r, pa.float64())) \
+        .append_column("stopword_ratio", pa.array(stop_r, pa.float64())) \
+        .append_column("distinct_ratio", pa.array(distinct_r, pa.float64())) \
+        .append_column("mean_token_len", pa.array(mean_len, pa.float64())) \
+        .append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def add_quality(ds, text_col: str = "text"):
+    return ds.map_batches(lambda t: quality_batch(t, text_col), batch_format="pyarrow")
+
+
+def fingerprint_text(text: str, window: int = 8) -> str:
+    """Rolling polynomial hash fingerprint: min-of-window token hashes
+    (a winnowing-style document fingerprint), hex-encoded."""
+    toks = text.lower().split()
+    if not toks:
+        return "0" * 16
+    hs = [stable_u64(tk, "fp") for tk in toks]
+    if len(hs) <= window:
+        return f"{min(hs):016x}"
+    mins = []
+    for i in range(len(hs) - window + 1):
+        mins.append(min(hs[i:i + window]))
+    acc = 1469598103934665603
+    for m in set(mins):
+        acc ^= m
+        acc = (acc * 1099511628211) % (1 << 64)
+    return f"{acc:016x}"
+
+
+def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_col,
+            pa.array([fingerprint_text(x) for x in t[text_col].to_pylist()], pa.string()),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def token_count_ds(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    """Whitespace token count, fully vectorized (Arrow regex kernel)."""
+    return ds.map_batches(
+        lambda t: t.append_column(
+            out_col,
+            pc.cast(
+                pc.count_substring_regex(pc.utf8_trim_whitespace(t[text_col]), pattern=r"\S+"),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgforge.corpus import ground_truth_dupes, pages_table
+from kgforge.dedup_core import hamming64, jaccard, shingles, simhash
+from kgforge.dedup_ops import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_clusters,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kgforge.extract_core import url_normalize
+from kgforge.pipelines.flagship import build_docs
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return build_docs(rd.from_arrow(pages_table(N))).materialize()
+
+
+def test_minhash_finds_ground_truth_dupes(docs_ds):
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_candidate_pairs(docs_ds, "url_norm", "extracted_text", 0.7).take_all()
+    }
+    gt = {
+        tuple(sorted((url_normalize(a), url_normalize(b))))
+        for a, b in ground_truth_dupes(N)
+    }
+    found = sum(1 for p in gt if p in pairs)
+    assert found / len(gt) >= 0.8, f"minhash recall {found}/{len(gt)}"
+
+
+def test_minhash_clusters_canonical_min(docs_ds):
+    cmap = minhash_clusters(docs_ds, "url_norm", "extracted_text", 0.7)
+    for k, v in cmap.items():
+        assert v <= k
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    pairs = ngram_jaccard_pairs(docs_ds, "url_norm", "extracted_text", 0.5).take_all()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_pairs(docs_ds):
+    pairs = simhash_pairs(docs_ds, "url_norm", "extracted_text", max_hamming=3).take_all()
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "tail"
+    assert hamming64(simhash(a), simhash(a)) == 0
+    assert hamming64(simhash(a), simhash(b)) <= 8
+    c = "completely different content about other topics entirely " * 5
+    assert hamming64(simhash(a), simhash(c)) > 10
+
+
+def test_jaccard_shingles():
+    a = shingles("one two three four five six")
+    b = shingles("one two three four five seven")
+    assert 0.4 < jaccard(a, b) < 1.0
+    assert jaccard(a, a) == 1.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_exact_dedup():
+    t = pa.table({"doc_id": [3, 1, 2, 5], "text": ["x", "x", "y", "y"]})
+    out = exact_dedup(rd.from_arrow(t), "doc_id", "text").to_pandas()
+    out = out.sort_values("text").reset_index(drop=True)
+    assert out["keeper_id"].tolist() == [1, 2]
+    assert out["n_copies"].tolist() == [2, 2]

@@ -1,0 +1,83 @@
+"""KBModel learn/synthesize tests (SURVEY §5.4.4): histogram correctness
+vs a pandas recomputation and the learn→synth→learn distribution fit."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from kgforge.corpus import pages_table
+from kgforge.model.learn import degree_hist, learn_model, pred_freq, pred_stats
+from kgforge.model.synth import synthesize
+from kgforge.nlp_core import AliasResource
+from kgforge.reference import run_reference
+
+
+@pytest.fixture(scope="module")
+def triples():
+    res = run_reference(pages_table(300))
+    return rd.from_arrow(res.triples_table()).materialize()
+
+
+@pytest.fixture(scope="module")
+def tdf(triples):
+    return triples.to_pandas()
+
+
+def test_pred_freq_matches_pandas(triples, tdf):
+    got = pred_freq(triples).to_pandas().sort_values("pred").reset_index(drop=True)
+    want = tdf.groupby("pred").size().reset_index(name="n_facts").sort_values("pred").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_degree_hist_matches_pandas(triples, tdf):
+    got = (
+        degree_hist(triples, "out").to_pandas()
+        .sort_values(["pred", "degree"]).reset_index(drop=True)
+    )
+    deg = tdf.groupby(["pred", "subj"]).size().reset_index(name="degree")
+    want = (
+        deg.groupby(["pred", "degree"]).size().reset_index(name="n_entities")
+        .assign(direction="out")[["pred", "direction", "degree", "n_entities"]]
+        .sort_values(["pred", "degree"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pred_stats_functionality(triples, tdf):
+    st = pred_stats(triples).set_index("pred")
+    for pred, grp in tdf.groupby("pred"):
+        assert st.loc[pred, "n_facts"] == len(grp)
+        assert st.loc[pred, "n_subj"] == grp["subj"].nunique()
+        assert st.loc[pred, "n_reflexive"] == 0
+
+
+def _tv(p: pd.Series, q: pd.Series) -> float:
+    return 0.5 * (p / p.sum() - q / q.sum()).abs().sum()
+
+
+def test_learn_synth_learn_roundtrip(triples):
+    model = learn_model(triples, AliasResource.default().id_type)
+    syn = synthesize(model, scale=1.0, seed=7)
+    pf2 = pred_freq(syn).to_pandas()
+    m = model["pred_freq"].merge(pf2, on="pred", how="outer", suffixes=("_o", "_s")).fillna(0)
+    assert _tv(m["n_facts_o"], m["n_facts_s"]) < 0.05
+    d1 = model["degree_out"]
+    d2 = degree_hist(syn, "out").to_pandas()
+    mm = d1.merge(d2, on=["pred", "degree"], how="outer", suffixes=("_o", "_s")).fillna(0)
+    assert _tv(mm["n_entities_o"], mm["n_entities_s"]) < 0.2
+
+
+def test_synth_is_deterministic(triples):
+    model = learn_model(triples, AliasResource.default().id_type)
+    a = synthesize(model, scale=1.0, seed=7).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = synthesize(model, scale=1.0, seed=7).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_synth_scales(triples):
+    model = learn_model(triples, AliasResource.default().id_type)
+    n1 = synthesize(model, scale=1.0, seed=7).count()
+    n2 = synthesize(model, scale=2.0, seed=7).count()
+    assert 1.5 * n1 < n2 < 2.5 * n1
