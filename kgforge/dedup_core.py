@@ -56,16 +56,25 @@ def minhash_signature(sh: set[int], num_perm: int = NUM_PERM) -> np.ndarray:
     return hv.min(axis=1).astype(np.uint64)
 
 
-def lsh_band_keys(sig: np.ndarray, bands: int = LSH_BANDS) -> list[str]:
-    """Split the signature into bands; key = band index + digest of the band
-    values. Equal keys → LSH candidate pair."""
+def lsh_bands(sig: np.ndarray, bands: int = LSH_BANDS) -> list[tuple[str, int]]:
+    """Split the signature into bands; per band emit (string key, signed
+    int64 hash) — the string key is the exact bucket identity, the int64
+    is the same digest as a cheap fixed-width shuffle/filter column. Equal
+    keys → LSH candidate pair."""
     rows = len(sig) // bands
-    keys = []
+    out = []
     for b in range(bands):
         chunk = sig[b * rows:(b + 1) * rows]
-        h = hashlib.blake2b(struct.pack(f"<{rows}Q", *chunk.tolist()), digest_size=8)
-        keys.append(f"{b}:{h.hexdigest()}")
-    return keys
+        d = hashlib.blake2b(
+            struct.pack(f"<{rows}Q", *chunk.tolist()), digest_size=8, salt=bytes([b])
+        ).digest()
+        h = int.from_bytes(d, "big") - (1 << 63)
+        out.append((f"{b}:{d.hex()}", h))
+    return out
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = LSH_BANDS) -> list[str]:
+    return [k for k, _ in lsh_bands(sig, bands)]
 
 
 def sig_jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -101,6 +110,21 @@ def simhash(text: str, dim: int = 64) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+MAX_ALLPAIRS_BUCKET = 64
+
+
+def bucket_pair_policy(sorted_members: list) -> list[tuple[int, int]]:
+    """Candidate-pair policy for an LSH bucket, SHARED by engine and oracle
+    so their near-dup decisions are identical: all pairs for small buckets;
+    for oversized buckets (boilerplate collisions at web scale) a sorted
+    chain — preserving union-find connectivity with O(n) pairs instead of
+    O(n²)."""
+    n = len(sorted_members)
+    if n <= MAX_ALLPAIRS_BUCKET:
+        return [(i, j) for i in range(n) for j in range(i + 1, n)]
+    return [(i, i + 1) for i in range(n - 1)]
 
 
 class UnionFind:

@@ -41,11 +41,17 @@ class FlagshipResult:
 
 
 def build_docs(pages_ds, langs=("en",)):
-    """pages → extracted docs (B7 → G2 → B2 → B1)."""
+    """pages → extracted docs (B7 → B2 → B1 → G2).
+
+    Extraction runs BEFORE exact dedup so the wide html column never
+    crosses a shuffle (G2 only aggregates a thin key projection; the ~2%
+    superseded re-crawls cost one redundant extraction each). The result
+    is materialized: exact_dedup and every downstream consumer read the
+    extracted docs more than once."""
     ds = pages_ds.map_batches(add_url_norm, batch_format="pyarrow")
-    ds = exact_dedup(ds)
     ds = lang_filter(ds, langs)
-    return extract_docs(ds)
+    docs = extract_docs(ds).materialize()
+    return exact_dedup(docs)
 
 
 def run_flagship(

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from ..dedup_core import (
     UnionFind,
+    bucket_pair_policy,
     lsh_band_keys,
     minhash_signature,
     shingles,
@@ -91,15 +92,17 @@ def run_reference(pages: pa.Table, res: AliasResource | None = None) -> Referenc
     for u in sorted(extracted):
         for bk in lsh_band_keys(sigs[u]):
             buckets.setdefault(bk, []).append(u)
+    # candidate pairs under the SHARED bucket_pair_policy, then verify —
+    # mirrors the engine's candidate→verify split exactly
+    pairs: set[tuple[str, str]] = set()
+    for bk, urls in buckets.items():
+        members = sorted(set(urls))
+        for i, j in bucket_pair_policy(members):
+            pairs.add((members[i], members[j]))
     uf_docs = UnionFind()
-    for bk, urls in sorted(buckets.items()):
-        for i in range(len(urls)):
-            for j in range(i + 1, len(urls)):
-                a, b = urls[i], urls[j]
-                if uf_docs.find(a) == uf_docs.find(b):
-                    continue
-                if sig_jaccard(sigs[a], sigs[b]) >= NEARDUP_JACCARD:
-                    uf_docs.union(a, b)
+    for a, b in sorted(pairs):
+        if sig_jaccard(sigs[a], sigs[b]) >= NEARDUP_JACCARD:
+            uf_docs.union(a, b)
     drop: set[str] = set()
     comp: dict[str, list[str]] = {}
     for u in extracted:

@@ -176,7 +176,7 @@ def q_distinct_part_types(sf_dir: str):
 def q_lineitem_orders_join(sf_dir: str):
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
     od = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    j = li.join(od, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = li.join(od, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
     out = j.groupby(["o_orderstatus", "l_returnflag"]).aggregate(
         Count(alias_name="n_items"), Sum("l_quantity", alias_name="total_qty")
     )
@@ -216,7 +216,7 @@ def q_revenue_by_segment(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = li.join(od, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = li.join(od, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
     out = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_items"), Sum("revenue_raw", alias_name="revenue")
     )

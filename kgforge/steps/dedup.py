@@ -1,26 +1,39 @@
 """Near-duplicate removal: minhash-LSH + union-find (SURVEY §2.G3-G4).
 
-Scale shape: signatures (1 KiB/doc) are computed in a stateless
-map_batches, exploded to (band_key, url_norm, sig) rows, hash-shuffled by
-band_key; per-bucket verification uses the signature-estimated Jaccard
-(``sig_jaccard`` — the same criterion as the oracle). The resulting
-candidate-edge set is tiny relative to the corpus (only actual near-dups +
-rare band collisions), so union-find runs on the driver; the drop-set is
-broadcast back as a filter. The 10^12-scale alternative (iterative
-min-label propagation as repeated groupby-min rounds) is documented in
-SURVEY §4.5 and keeps the same edge-producing stages.
+Scale shape (v3 — profiled twice): one stateless map_batches computes
+per-doc MinHash signatures AND the 16 int64 band hashes into a slim
+materialized side dataset (``url_norm, sig[128], band_h[16]``). No
+exploded band dataset exists at all:
+
+  1. the driver gathers ONLY the flattened band_h column (8 B × 16 per
+     doc, vectorized arrow→numpy) and finds repeated hashes with one
+     np.sort — these are the collision buckets (near-dups + rare
+     collisions; almost every bucket is a singleton, which is why a
+     groupby here wastes ~7 µs per singleton group);
+  2. a broadcast filter fetches the few rows touching a repeated hash,
+     and the driver forms candidate pairs under the shared
+     ``bucket_pair_policy``;
+  3. signatures of candidate docs only are fetched the same way;
+     verification (``sig_jaccard`` — identical criterion to the oracle)
+     + union-find run on the driver.
+
+On a multi-node cluster the step-1 gather becomes a hash-shuffle
+count>1 over the band rows and step-3 a join pairs⋈sigs — same outputs,
+flip when the band column stops fitting on the driver (SURVEY §4.5).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..dedup_core import (
     LSH_BANDS,
     NUM_PERM,
     UnionFind,
-    lsh_band_keys,
+    bucket_pair_policy,
+    lsh_bands,
     minhash_signature,
     shingles,
     sig_jaccard,
@@ -29,66 +42,123 @@ from ..dedup_core import (
 NEARDUP_JACCARD = 0.7
 
 
-def _band_rows(batch: pa.Table) -> pa.Table:
-    """docs → exploded (band_key, url_norm, sig) rows (LSH_BANDS per doc)."""
+def _flat_i64(col) -> np.ndarray:
+    """list<int64> column → flat int64 numpy array (chunk-safe)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten(), dtype=np.int64)
+
+
+def _sig_rows(batch: pa.Table) -> pa.Table:
+    """docs → one (url_norm, sig[128], band_h[16]) row per doc."""
     urls = batch["url_norm"].to_pylist()
     texts = batch["extracted_text"].to_pylist()
-    band_keys: list[str] = []
-    out_urls: list[str] = []
     sigs: list[np.ndarray] = []
-    for u, t in zip(urls, texts):
+    bhs: list[list[int]] = []
+    for t in texts:
         sig = minhash_signature(shingles(t))
-        for bk in lsh_band_keys(sig):
-            band_keys.append(bk)
-            out_urls.append(u)
-            sigs.append(sig)
+        sigs.append(sig.astype(np.int64))
+        bhs.append([bh for _, bh in lsh_bands(sig)])
     return pa.table(
         {
-            "band_key": pa.array(band_keys, pa.string()),
-            "url_norm": pa.array(out_urls, pa.string()),
-            "sig": pa.array(
-                [s.astype(np.int64) for s in sigs], pa.list_(pa.int64(), NUM_PERM)
-            ),
+            "url_norm": pa.array(urls, pa.string()),
+            "sig": pa.array(sigs, pa.list_(pa.int64(), NUM_PERM)),
+            "band_h": pa.array(bhs, pa.list_(pa.int64(), LSH_BANDS)),
         }
     )
 
 
-def _bucket_edges(group: pa.Table) -> pa.Table:
-    """Per-band-bucket candidate verification → near-dup edges. Buckets are
-    tiny (dup clusters + rare collisions); all-pairs within bucket."""
-    n = group.num_rows
-    if n < 2:
-        return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
-    urls = group["url_norm"].to_pylist()
-    sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
-    order = np.argsort(np.array(urls))
-    a_out, b_out = [], []
-    for ii in range(n):
-        for jj in range(ii + 1, n):
-            i, j = order[ii], order[jj]
-            if urls[i] == urls[j]:
-                continue
-            if sig_jaccard(sigs[i], sigs[j]) >= NEARDUP_JACCARD:
-                a_out.append(urls[i])
-                b_out.append(urls[j])
-    return pa.table({"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string())})
+def _rows_touching(sig_ds, dup_h: np.ndarray, columns: list[str]):
+    """Broadcast filter: rows whose band_h intersects the dup-hash set."""
+    dup_sorted = np.sort(dup_h)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.select(columns)
+        flat = _flat_i64(t["band_h"])
+        hit = np.isin(flat, dup_sorted).reshape(n, LSH_BANDS).any(axis=1)
+        return t.select(columns).filter(pa.array(hit))
+
+    return sig_ds.map_batches(f, batch_format="pyarrow")
 
 
 def neardup_drop_set(docs_ds) -> set[str]:
-    """Run the LSH stages and union-find; return the url_norm drop-set
-    (each component keeps its lexicographic-min member)."""
-    edges = (
+    """LSH candidate generation + signature verification + union-find;
+    returns the url_norm drop-set (components keep their min member)."""
+    sig_ds = (
         docs_ds.select_columns(["url_norm", "extracted_text"])
-        .map_batches(_band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_bucket_edges, batch_format="pyarrow")
+        .map_batches(_sig_rows, batch_format="pyarrow")
+        .materialize()  # slim; consumed by the three passes below
     )
+    # pass 1: find repeated band hashes (vectorized gather, one np.sort)
+    chunks = [
+        _flat_i64(b["band_h"])
+        for b in sig_ds.select_columns(["band_h"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    ]
+    if not chunks:
+        return set()
+    allh = np.concatenate(chunks)
+    allh.sort()
+    dup_h = np.unique(allh[:-1][allh[:-1] == allh[1:]]) if len(allh) > 1 else np.array([])
+    if not len(dup_h):
+        return set()
+
+    # pass 2: bucket membership for collision rows only → candidate pairs
+    # (vectorized: flatten all (band_hash, url) hits, lexsort by hash,
+    # walk group boundaries — no per-row Python)
+    hit_h_parts: list[np.ndarray] = []
+    hit_u_parts: list[np.ndarray] = []
+    for b in _rows_touching(sig_ds, dup_h, ["url_norm", "band_h"]).iter_batches(
+        batch_size=16384, batch_format="pyarrow"
+    ):
+        n = b.num_rows
+        if n == 0:
+            continue
+        urls = np.asarray(b["url_norm"].to_pylist(), dtype=object)
+        bh = _flat_i64(b["band_h"]).reshape(n, LSH_BANDS)
+        hits = np.isin(bh, dup_h)
+        rows, cols = np.nonzero(hits)
+        hit_h_parts.append(bh[rows, cols])
+        hit_u_parts.append(urls[rows])
+    pairs: set[tuple[str, str]] = set()
+    if hit_h_parts:
+        hh = np.concatenate(hit_h_parts)
+        uu = np.concatenate(hit_u_parts)
+        order = np.argsort(hh, kind="stable")
+        hh, uu = hh[order], uu[order]
+        boundaries = np.nonzero(np.diff(hh))[0] + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(hh)]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = sorted(set(uu[s:e].tolist()))
+            if len(members) < 2:
+                continue
+            for i, j in bucket_pair_policy(members):
+                pairs.add((members[i], members[j]))
+    if not pairs:
+        return set()
+
+    # pass 3: fetch candidate signatures, verify, union-find
+    cand_ids = sorted({u for p in pairs for u in p})
+    id_arr = pa.array(cand_ids, pa.string())
+    sig_of: dict[str, np.ndarray] = {}
+    cand_sigs = sig_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["url_norm"], value_set=id_arr)),
+        batch_format="pyarrow",
+    )
+    for b in cand_sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
+            sig_of[u] = np.asarray(s, dtype=np.int64)
+
     uf = UnionFind()
-    # The edge set is small by construction — driver-side collection is the
-    # documented v1 (SURVEY §4.5); take_batch-free streaming consumption.
-    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
-            uf.union(a, bb)
+    for a, b_ in sorted(pairs):
+        if a in sig_of and b_ in sig_of and sig_jaccard(sig_of[a], sig_of[b_]) >= NEARDUP_JACCARD:
+            uf.union(a, b_)
     drop: set[str] = set()
     comp: dict[str, list[str]] = {}
     for u in uf.parent:
@@ -101,17 +171,12 @@ def neardup_drop_set(docs_ds) -> set[str]:
 
 def apply_drop_set(docs_ds, drop: set[str]):
     """Broadcast anti-join: filter out dropped url_norms inside map_batches
-    (SURVEY §2.D4). ``drop`` is shipped once per task via closure capture —
-    at real scale wrap it in ray.put and resolve in an actor __init__."""
+    (SURVEY §2.D4)."""
     if not drop:
         return docs_ds
-    import pyarrow.compute as pc
-
     drop_arr = pa.array(sorted(drop), pa.string())
     return docs_ds.map_batches(
-        lambda t: t.filter(
-            pc.invert(pc.is_in(t["url_norm"], value_set=drop_arr))
-        ),
+        lambda t: t.filter(pc.invert(pc.is_in(t["url_norm"], value_set=drop_arr))),
         batch_format="pyarrow",
     )
 

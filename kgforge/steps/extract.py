@@ -16,21 +16,89 @@ def add_url_norm(batch: pa.Table) -> pa.Table:
     return batch.append_column("url_norm", pa.array([url_normalize(u) for u in urls], pa.string()))
 
 
-def _keep_newest(group: pa.Table) -> pa.Table:
-    """Exact-dedup reducer: keep the max (warc_ts, url) row of a url_norm
-    group (re-crawl wins; deterministic tie-break on raw url)."""
-    if group.num_rows == 1:
-        return group
-    idx = pc.sort_indices(
-        group, sort_keys=[("warc_ts", "descending"), ("url", "descending")]
-    )
-    return group.take(idx[:1])
+def _sort_key(t: pa.Table) -> pa.Array:
+    """Total-order key for 'newest crawl wins': zero-padded µs timestamp
+    concatenated with the raw url (deterministic tie-break). String-max of
+    this key == max (warc_ts, url) tuple."""
+    ts = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
+    ts_pad = pc.utf8_lpad(ts, 20, "0")
+    return pc.binary_join_element_wise(ts_pad, t["url"], "|")
 
 
 def exact_dedup(ds):
-    """G2: hash-partition on url_norm, keep newest per group — the first
-    shuffle of the flagship pipeline."""
-    return ds.groupby("url_norm").map_groups(_keep_newest, batch_format="pyarrow")
+    """G2: keep the newest crawl per url_norm.
+
+    v2 design (profiled — see BENCH notes): instead of hash-shuffling full
+    rows and reducing per group (30k Python calls for 30k groups, html
+    riding the shuffle), aggregate only the THIN (url_norm, sort_key)
+    projection (Max per group — a small shuffle), then broadcast-filter the
+    full rows to the winners. Winner set = one entry per distinct url; at
+    10^12-scale replace the broadcast with `Dataset.join` on
+    (url_norm, sort_key) — same semantics, documented tradeoff.
+
+    Call AFTER extract_docs so the wide html column never crosses a
+    shuffle boundary (re-extracting the ~2% superseded crawls is cheaper
+    than shuffling html).
+    """
+    import numpy as np
+
+    from ..extract_core import stable_u64
+
+    def _key_hash(t: pa.Table) -> pa.Table:
+        hs = [stable_u64(u, "urldup") - (1 << 63) for u in t["url_norm"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    # pass 1: repeated url_norm hashes (8 B/row gather + one np.sort —
+    # a groupby here would pay Ray's per-group cost on millions of
+    # singleton urls; only the ~2% re-crawled urls matter)
+    chunks = [
+        b["h"].to_numpy()
+        for b in ds.map_batches(_key_hash, batch_format="pyarrow").iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        )
+    ]
+    if not chunks:
+        return ds
+    allh = np.concatenate(chunks)
+    allh.sort()
+    dup_h = np.unique(allh[:-1][allh[:-1] == allh[1:]]) if len(allh) > 1 else np.array([])
+    if not len(dup_h):
+        return ds
+    dup_sorted = np.sort(dup_h)
+
+    # pass 2: winners among the duplicated urls only (hash false-positives
+    # just add a few singleton "dup" urls — their winner is themselves)
+    def _dup_rows(t: pa.Table) -> pa.Table:
+        hs = np.array(
+            [stable_u64(u, "urldup") - (1 << 63) for u in t["url_norm"].to_pylist()],
+            dtype=np.int64,
+        )
+        mask = np.isin(hs, dup_sorted)
+        thin = pa.table({"url_norm": t["url_norm"], "sort_key": _sort_key(t)})
+        return thin.filter(pa.array(mask))
+
+    win_of: dict[str, str] = {}
+    for b in ds.map_batches(_dup_rows, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for u, k in zip(b["url_norm"].to_pylist(), b["sort_key"].to_pylist()):
+            if u not in win_of or k > win_of[u]:
+                win_of[u] = k
+    if not win_of:
+        return ds
+    items = sorted(win_of.items())
+    dup_keys = pa.array([u for u, _ in items], pa.string())
+    dup_wins = pa.array([w for _, w in items], pa.string())
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["url_norm"], value_set=dup_keys)
+        win = pc.take(dup_wins, idx)
+        keep = pc.or_kleene(
+            pc.is_null(idx), pc.equal(_sort_key(t), win)
+        )
+        return t.filter(pc.fill_null(keep, True))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def lang_filter(ds, langs: tuple[str, ...] = ("en",)):

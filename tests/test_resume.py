@@ -1,0 +1,70 @@
+"""Ledger-driven checkpoint/resume test (SURVEY §5.4.5): a run killed
+after k partitions, resumed, must produce byte-identical triples to an
+uninterrupted run, with no partition processed twice."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from kgforge.run import run_stage1, run_stage2
+from kgforge.steps.ledger import completed_partitions, read_ledger
+
+N_PAGES = 600
+PARTS = 6
+
+
+@pytest.fixture(scope="module")
+def full_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("full"))
+    run_stage1(out, N_PAGES, PARTS, resume=False, seed=42)
+    run_stage2(out, seed=42)
+    return out
+
+
+@pytest.fixture(scope="module")
+def resumed_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resumed"))
+    # crash simulation: only the first 3 partitions complete...
+    run_stage1(out, N_PAGES // 2, 3, resume=False, seed=42)
+    # ...then the job restarts with --resume and the full input
+    run_stage1(out, N_PAGES, PARTS, resume=True, seed=42)
+    run_stage2(out, seed=42)
+    return out
+
+
+def _triples(out: str):
+    return pq.read_table(os.path.join(out, "triples")).to_pandas().sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+
+
+def test_resume_output_identical(full_run, resumed_run):
+    a, b = _triples(full_run), _triples(resumed_run)
+    assert a.equals(b), "resumed run diverges from uninterrupted run"
+
+
+def test_no_partition_processed_twice(resumed_run):
+    led = read_ledger(resumed_run).to_pylist()
+    part_rows = [r for r in led if r["partition_id"] >= 0]
+    ids = [r["partition_id"] for r in part_rows]
+    assert sorted(ids) == sorted(set(ids)), "a partition has two ledger rows"
+    assert completed_partitions(resumed_run, "docs") == set(range(PARTS))
+
+
+def test_ledger_fields(full_run):
+    led = read_ledger(full_run).to_pylist()
+    parts = [r for r in led if r["partition_id"] >= 0]
+    assert len(parts) == PARTS
+    for r in parts:
+        assert r["status"] == "docs"
+        assert r["n_pages"] > 0 and r["n_docs"] > 0
+        assert r["url_min"] <= r["url_max"]
+        assert r["wall_s"] > 0
+        assert r["engine_version"]
+    summary = [r for r in led if r["partition_id"] == -1]
+    assert len(summary) == 1 and summary[0]["status"] == "materialized"
+    assert summary[0]["n_triples"] > 0
