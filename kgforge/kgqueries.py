@@ -147,6 +147,15 @@ def kg_synth_triples(sf_dir: str):
     return pred_freq(syn).sort("pred")
 
 
+@kgquery("kg_mined_rules")
+def kg_mined_rules(sf_dir: str):
+    """K6 (reference M3): AMIE-lite horn rules mined from the flagship
+    graph (body_pred ⇒ head_pred with support/confidence)."""
+    from .model.rules import mine_rules
+
+    return mine_rules(_flagship(sf_dir).triples, min_support=3, min_confidence=0.3)
+
+
 # --- dedup family over the synthetic corpus docs ---------------------------
 
 

@@ -1,0 +1,102 @@
+"""N-Triples I/O (SURVEY §2.S6-S7) — the reference tool's interchange
+format, implemented from scratch (no rdflib in this environment): a
+regex parser and a deterministic serializer, both as Ray Data stages.
+
+Entity/predicate ids are mapped to URIs under a configurable base
+namespace; string literals are escaped per the N-Triples grammar.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+DEFAULT_BASE = "http://kgforge.example/"
+
+_NT_LINE = re.compile(
+    r"^\s*<(?P<s>[^>]*)>\s+<(?P<p>[^>]*)>\s+"
+    r"(?:<(?P<o>[^>]*)>|\"(?P<lit>(?:[^\"\\]|\\.)*)\")\s*\.\s*$"
+)
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n").replace("\r", "\\r")
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\r", "\r").replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
+    )
+
+
+def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
+    """triples(subj, pred, obj) → one N-Triples line per row."""
+    lines = [
+        f"<{base}entity/{s}> <{base}pred/{p}> <{base}entity/{o}> ."
+        for s, p, o in zip(
+            batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
+        )
+    ]
+    return pa.table({"line": pa.array(lines, pa.string())})
+
+
+def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
+    """text lines → triples(subj, pred, obj); malformed lines and literal
+    objects parse deterministically (literals kept verbatim, prefix
+    stripped when it matches the base namespace)."""
+    col = "line" if "line" in batch.column_names else "text"
+    subs, preds, objs = [], [], []
+
+    def strip(uri: str, kind: str) -> str:
+        pfx = f"{base}{kind}/"
+        return uri[len(pfx):] if uri.startswith(pfx) else uri
+
+    for line in batch[col].to_pylist():
+        if not line or line.lstrip().startswith("#"):
+            continue
+        m = _NT_LINE.match(line)
+        if not m:
+            continue
+        s = strip(m.group("s"), "entity")
+        p = strip(m.group("p"), "pred")
+        o = (
+            strip(m.group("o"), "entity")
+            if m.group("o") is not None
+            else _unescape(m.group("lit"))
+        )
+        subs.append(s)
+        preds.append(p)
+        objs.append(o)
+    return pa.table(
+        {
+            "subj": pa.array(subs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+        }
+    )
+
+
+def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
+    """triples Dataset → directory of .txt part files (one line per triple)."""
+    lines = triples_ds.map_batches(
+        lambda t, b=base: to_nt_lines(t, b), batch_format="pyarrow"
+    )
+    # write_text would wrap in json; emit via write_csv-free custom sink:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    i = 0
+    for b in lines.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        with open(os.path.join(out_dir, f"part-{i:05d}.nt"), "w", encoding="utf-8") as f:
+            f.write("\n".join(b["line"].to_pylist()))
+            f.write("\n")
+        i += 1
+
+
+def read_ntriples(path: str, base: str = DEFAULT_BASE):
+    """N-Triples file(s) → Dataset[triples] via read_text + batch parser."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+    return ds.map_batches(lambda t, b=base: parse_nt_batch(t, b), batch_format="pyarrow")

@@ -288,6 +288,19 @@ def build_ontology(seed: int = 42) -> Ontology:
                 continue
             seen.add(f)
             facts.append(f)
+    # correlated predicates (horn-rule structure for K6 mining): a capital
+    # is a city of its country; a chief executive works for their org
+    extra: list[tuple[str, str, str]] = []
+    for s, p, o in facts:
+        if p == "capital_of" and rng.random() < 0.9:
+            extra.append((s, "city_in", o))
+        elif p == "ceo_of" and rng.random() < 0.85:
+            extra.append((s, "works_for", o))
+    for f in extra:
+        if f not in seen:
+            seen.add(f)
+            facts.append(f)
+
     onto.facts = facts
     # Zipf weight per fact, keyed by subject rank.
     rank_of = {e.eid: r for r, e in enumerate(subjects)}

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from kgforge.ntriples import (
+    parse_nt_batch,
+    read_ntriples,
+    to_nt_lines,
+    write_ntriples,
+)
+
+
+def _triples_table():
+    return pa.table(
+        {
+            "subj": ["e0001", "e0002"],
+            "pred": ["works_for", "located_in"],
+            "obj": ["e0100", "e0200"],
+        }
+    )
+
+
+def test_roundtrip_lines():
+    t = _triples_table()
+    lines = to_nt_lines(t)
+    back = parse_nt_batch(lines)
+    assert back.to_pylist() == t.to_pylist()
+
+
+def test_literal_and_malformed_lines():
+    lines = pa.table(
+        {
+            "line": [
+                '<http://kgforge.example/entity/e1> <http://kgforge.example/pred/name> "Alice \\"A\\" Smith" .',
+                "# comment",
+                "",
+                "garbage line without structure",
+                "<http://other.example/x> <http://other.example/p> <http://other.example/y> .",
+            ]
+        }
+    )
+    out = parse_nt_batch(lines).to_pylist()
+    assert out[0] == {"subj": "e1", "pred": "name", "obj": 'Alice "A" Smith'}
+    assert out[1]["subj"] == "http://other.example/x"  # foreign URIs kept verbatim
+    assert len(out) == 2  # comment/blank/garbage dropped
+
+
+def test_file_roundtrip(tmp_path):
+    ds = rd.from_arrow(_triples_table())
+    out = str(tmp_path / "nt")
+    write_ntriples(ds, out)
+    back = read_ntriples(out).to_pandas().sort_values("subj").reset_index(drop=True)
+    assert back.to_dict("records") == _triples_table().to_pylist()
