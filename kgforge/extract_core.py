@@ -145,6 +145,17 @@ def extract_text(raw_html: bytes | str) -> str:
     return normalize_text(text)
 
 
+def extract_page_text(raw_html: bytes | str, fallback_text: str | None = None) -> str:
+    """B1 page-level rule: extract from html; when a page carries no html
+    (e.g. a text-only corpus adapted to the pages schema) fall back to the
+    normalized raw ``text`` column. One definition, shared by the Ray
+    stage and the reference emitter."""
+    out = extract_text(raw_html)
+    if not out and fallback_text:
+        return normalize_text(fallback_text)
+    return out
+
+
 def sha256_hex(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
 

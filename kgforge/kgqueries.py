@@ -147,6 +147,41 @@ def kg_synth_triples(sf_dir: str):
     return pred_freq(syn).sort("pred")
 
 
+def documents_as_pages(sf_dir: str):
+    """SURVEY §3.3 adapter: driver ``documents`` table → pages schema
+    (html=b'', text carries the content → extraction falls back to
+    normalized raw text)."""
+    from .relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def adapt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"testdata://doc/{i}" for i in t["doc_id"].to_pylist()], pa.string()
+                ),
+                "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+                "html": pa.array([b""] * n, pa.large_binary()),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+@kgquery("kg_docs_from_documents_table")
+def kg_docs_from_documents_table(sf_dir: str):
+    """Flagship extraction front-end over the driver documents table via
+    the pages adapter (text-fallback path): url_norm + sha256 + n_chars."""
+    from .pipelines.flagship import build_docs
+
+    docs = build_docs(documents_as_pages(sf_dir), langs=("en", "de", "es", "fr", "zh"))
+    return docs.select_columns(["url_norm", "text_sha256", "n_chars"]).sort("url_norm")
+
+
 @kgquery("kg_mined_rules")
 def kg_mined_rules(sf_dir: str):
     """K6 (reference M3): AMIE-lite horn rules mined from the flagship

@@ -32,7 +32,7 @@ from ..dedup_core import (
     shingles,
     sig_jaccard,
 )
-from ..extract_core import extract_text, split_sentences, url_normalize
+from ..extract_core import extract_page_text, split_sentences, url_normalize
 from ..nlp_core import AliasResource, build_pattern_bank, extract_svo, link_triple
 
 NEARDUP_JACCARD = 0.7
@@ -81,7 +81,7 @@ def run_reference(pages: pa.Table, res: AliasResource | None = None) -> Referenc
         row = best[key]
         if row["lang"] != "en":
             continue
-        text = extract_text(row["html"])
+        text = extract_page_text(row["html"], row.get("text"))
         if not text:
             continue
         extracted[key] = text

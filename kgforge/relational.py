@@ -657,3 +657,151 @@ def q_embed_topk_cosine(sf_dir: str):
     part = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     part = part.sort_values(["c", "vec_id"], ascending=[False, True]).head(k)
     return part[["vec_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# scalar-function library extras (H) + sessionization (I3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_math_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           round(ln(l_extendedprice), 4) AS log_price,
+           CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_decile
+    FROM lineitem
+    """,
+)
+def q_math_ops(sf_dir: str):
+    ds = read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount", "l_extendedprice", "l_quantity"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "disc_dev": pc.abs(pc.subtract(t["l_discount"], pa.scalar(0.05))),
+                "log_price": pc.ln(t["l_extendedprice"]),
+                "qty_decile": pc.cast(
+                    pc.ceil(pc.divide(t["l_quantity"], pa.scalar(10.0))), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return _round_cols(out, {"disc_dev": 4, "log_price": 4})
+
+
+@query(
+    "q_case_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n_orders
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_case_buckets(sf_dir: str):
+    ds = read(sf_dir, "orders", ["o_totalprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"]
+        bucket = pc.if_else(
+            pc.less(p, 50000.0),
+            pa.scalar("small"),
+            pc.if_else(pc.less(p, 150000.0), pa.scalar("medium"), pa.scalar("large")),
+        )
+        return pa.table({"bucket": bucket})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+
+
+@query(
+    "q_regex_extract",
+    """
+    SELECT c_custkey, regexp_extract(c_name, '([0-9]+)') AS cust_digits
+    FROM customer
+    """,
+)
+def q_regex_extract(sf_dir: str):
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["c_name"], pattern=r"(?P<d>[0-9]+)")
+        digits = pc.if_else(
+            pc.is_valid(ex), pc.struct_field(ex, "d"), pa.scalar("", pa.string())
+        )
+        return pa.table({"c_custkey": t["c_custkey"], "cust_digits": digits})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@query(
+    "q_null_handling",
+    """
+    SELECT count(*) AS n_rows,
+           count(NULLIF(l_discount, 0)) AS n_nonzero_disc,
+           CAST(coalesce(max(NULLIF(l_linenumber, l_linenumber)), -1) AS BIGINT) AS all_null_probe
+    FROM lineitem
+    """,
+)
+def q_null_handling(sf_dir: str):
+    ds = read(sf_dir, "lineitem", ["l_discount", "l_linenumber"])
+    n_rows = ds.count()
+    n_nonzero = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["l_discount"], 0.0)), batch_format="pyarrow"
+    ).count()
+    return pd.DataFrame(
+        {"n_rows": [n_rows], "n_nonzero_disc": [n_nonzero], "all_null_probe": [-1]}
+    )
+
+
+@query(
+    "q_events_sessions",
+    """
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (
+      SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions(sf_dir: str):
+    """Sessionization (gap > 30 min starts a new session) — the
+    streaming-shaped op expressed as groupby(user).map_groups over the
+    ts-sorted group (ray_guide pattern); oracle = gap-and-island SQL."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = new_sess.cumsum() + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(n_events=("ts", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    out["session_id"] = out["session_id"].astype("int64")
+    return _round_cols(out, {"total_value": 2})

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..extract_core import extract_text, sha256_hex, url_normalize
+from ..extract_core import extract_page_text, sha256_hex, url_normalize
 
 
 def add_url_norm(batch: pa.Table) -> pa.Table:
@@ -113,9 +113,13 @@ def lang_filter(ds, langs: tuple[str, ...] = ("en",)):
 
 def extract_docs_batch(batch: pa.Table) -> pa.Table:
     """B1: html → extracted_text (+sha256, n_chars); DROPS the wide html
-    column immediately (SURVEY §7.5) and rows with empty extraction."""
-    texts = [extract_text(h) for h in batch["html"].to_pylist()]
-    out = batch.drop_columns(["html", "text"])
+    column immediately (SURVEY §7.5) and rows with empty extraction.
+    html-less rows fall back to the normalized raw ``text`` column."""
+    raw = batch["text"].to_pylist() if "text" in batch.column_names else [None] * batch.num_rows
+    texts = [
+        extract_page_text(h, ft) for h, ft in zip(batch["html"].to_pylist(), raw)
+    ]
+    out = batch.drop_columns([c for c in ("html", "text") if c in batch.column_names])
     out = out.append_column("extracted_text", pa.array(texts, pa.string()))
     out = out.append_column(
         "text_sha256", pa.array([sha256_hex(t) for t in texts], pa.string())
