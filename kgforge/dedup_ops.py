@@ -13,12 +13,7 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
 from .dedup_core import (
-    NUM_PERM,
     UnionFind,
-    lsh_band_keys,
-    minhash_signature,
-    shingles,
-    sig_jaccard,
     simhash,
 )
 
@@ -37,154 +32,88 @@ def exact_dedup(ds, id_col: str, text_col: str):
 # --- minhash-LSH ------------------------------------------------------------
 
 
-def _band_rows_generic(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    bks, oids, sigs = [], [], []
-    for i, t in zip(ids, texts):
-        sig = minhash_signature(shingles(t))
-        for bk in lsh_band_keys(sig):
-            bks.append(bk)
-            oids.append(i)
-            sigs.append(sig.astype(np.int64))
-    return pa.table(
-        {
-            "band_key": pa.array(bks, pa.string()),
-            "doc": pa.array([str(x) for x in oids], pa.string()),
-            "sig": pa.array(sigs, pa.list_(pa.int64(), NUM_PERM)),
-        }
-    )
-
-
-def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    n = group.num_rows
-    empty = pa.table(
-        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
-         "est_jaccard": pa.array([], pa.float64())}
-    )
-    if n < 2:
-        return empty
-    docs = group["doc"].to_pylist()
-    sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
-    a_out, b_out, j_out = [], [], []
-    seen = set()
-    for i in range(n):
-        for j in range(i + 1, n):
-            x, y = sorted((docs[i], docs[j]))
-            if x == y or (x, y) in seen:
-                continue
-            seen.add((x, y))
-            jac = sig_jaccard(sigs[i], sigs[j])
-            if jac >= threshold:
-                a_out.append(x)
-                b_out.append(y)
-                j_out.append(round(jac, 4))
-    if not a_out:
-        return empty
-    return pa.table(
-        {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
-         "est_jaccard": pa.array(j_out, pa.float64())}
-    )
-
-
 def minhash_candidate_pairs(ds, id_col: str, text_col: str, threshold: float = 0.7):
     """MinHash-LSH near-dup pairs (distinct, est_jaccard ≥ threshold).
-    Shuffle key: band_key; verification inside the bucket on signatures."""
-    band = ds.select_columns([id_col, text_col]).map_batches(
-        lambda b: _band_rows_generic(b, id_col, text_col), batch_format="pyarrow"
+    Delegates to the flagship's scale-sane collision engine
+    (kgforge.steps.dedup): repeated-band-hash scan, candidate-only
+    signature verification — no per-bucket groupby."""
+    from .steps.dedup import minhash_sig_ds, verified_pairs
+
+    str_ds = ds.map_batches(
+        lambda t: pa.table(
+            {id_col: pa.compute.cast(t[id_col], pa.string()), text_col: t[text_col]}
+        ),
+        batch_format="pyarrow",
     )
-    pairs = band.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+    sig = minhash_sig_ds(str_ds, id_col, text_col)
+    rows = verified_pairs(sig, threshold)
+    return pa.table(
+        {
+            "a": pa.array([a for a, _, _ in rows], pa.string()),
+            "b": pa.array([b for _, b, _ in rows], pa.string()),
+            "est_jaccard": pa.array([round(j, 4) for _, _, j in rows], pa.float64()),
+        }
     )
-    # same pair can surface from several bands → distinct
-    return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
 
 def minhash_clusters(ds, id_col: str, text_col: str, threshold: float = 0.7) -> dict[str, str]:
     """Full near-dup clustering: pairs → driver union-find → id→cluster
     (cluster id = min member). Only ids that belong to some pair appear."""
+    t = minhash_candidate_pairs(ds, id_col, text_col, threshold)
     uf = UnionFind()
-    for b in minhash_candidate_pairs(ds, id_col, text_col, threshold).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
-            uf.union(a, bb)
+    for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+        uf.union(a, b)
     return uf.canonical_map()
 
 
-# --- n-gram Jaccard (exact verification variant) ----------------------------
-
-
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, threshold: float = 0.5, k: int = 3):
-    """Exact n-gram Jaccard near-dup pairs. LSH prunes candidates; exact
-    shingle sets are then compared *within the bucket* (shingle sets ride
-    along only for bucketed candidates at test scale; at 100 TB scale use
-    the signature variant instead — documented tradeoff)."""
+    """Exact n-gram Jaccard near-dup pairs: LSH prunes candidates via the
+    shared collision engine; EXACT shingle-set Jaccard is then computed for
+    the (few) candidate docs only — their texts are fetched with a
+    broadcast semi-join, never shuffled in bulk."""
+    import pyarrow.compute as pc
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        bks, oids, shs = [], [], []
-        for i, t in zip(ids, texts):
-            sh = shingles(t, k)
-            sig = minhash_signature(sh)
-            # shingle hashes are u64 → wraparound-cast to int64 (consistent
-            # on both sides of the jaccard compare, so set math is unchanged)
-            sh_arr = (
-                np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(np.int64)
-                if sh
-                else np.array([], dtype=np.int64)
-            )
-            for bk in lsh_band_keys(sig):
-                bks.append(bk)
-                oids.append(str(i))
-                shs.append(sh_arr)
-        return pa.table(
-            {
-                "band_key": pa.array(bks, pa.string()),
-                "doc": pa.array(oids, pa.string()),
-                "sh": pa.array([x.tolist() for x in shs], pa.list_(pa.int64())),
-            }
-        )
+    from .dedup_core import jaccard, shingles as mk_shingles
+    from .steps.dedup import candidate_pairs, minhash_sig_ds
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table(
-            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-        if n < 2:
-            return empty
-        docs = group["doc"].to_pylist()
-        sets_ = [set(x) for x in group["sh"].to_pylist()]
-        a_out, b_out, j_out = [], [], []
-        seen = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                x, y = sorted((docs[i], docs[j]))
-                if x == y or (x, y) in seen:
-                    continue
-                seen.add((x, y))
-                u = len(sets_[i] | sets_[j])
-                jac = (len(sets_[i] & sets_[j]) / u) if u else 1.0
-                if jac >= threshold:
-                    a_out.append(x)
-                    b_out.append(y)
-                    j_out.append(round(jac, 4))
-        if not a_out:
-            return empty
-        return pa.table(
-            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
-             "jaccard": pa.array(j_out, pa.float64())}
-        )
-
-    pairs = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    str_ds = ds.map_batches(
+        lambda t: pa.table(
+            {id_col: pc.cast(t[id_col], pa.string()), text_col: t[text_col]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    sig = minhash_sig_ds(str_ds, id_col, text_col)
+    pairs = candidate_pairs(sig)
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+         "jaccard": pa.array([], pa.float64())}
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    if not pairs:
+        return empty
+    cand = sorted({u for p in pairs for u in p})
+    cand_arr = pa.array(cand, pa.string())
+    texts: dict[str, set] = {}
+    fetched = str_ds.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.string()), value_set=cand_arr)),
+        batch_format="pyarrow",
+    )
+    for b in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            texts[str(i)] = mk_shingles(txt, k)
+    a_out, b_out, j_out = [], [], []
+    for a, b in sorted(pairs):
+        if a in texts and b in texts:
+            j = jaccard(texts[a], texts[b])
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(j, 4))
+    if not a_out:
+        return empty
+    return pa.table(
+        {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string()),
+         "jaccard": pa.array(j_out, pa.float64())}
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -199,7 +199,7 @@ def dedup_minhash_pairs(sf_dir: str):
     from .dedup_ops import minhash_candidate_pairs
 
     docs = _flagship(sf_dir).docs
-    return minhash_candidate_pairs(docs, "url_norm", "extracted_text", 0.7).sort(["a", "b"])
+    return minhash_candidate_pairs(docs, "url_norm", "extracted_text", 0.7)  # already sorted
 
 
 @kgquery("dedup_simhash_pairs")
@@ -215,7 +215,7 @@ def dedup_ngram_jaccard_pairs(sf_dir: str):
     from .dedup_ops import ngram_jaccard_pairs
 
     docs = _flagship(sf_dir).docs
-    return ngram_jaccard_pairs(docs, "url_norm", "extracted_text", 0.5).sort(["a", "b"])
+    return ngram_jaccard_pairs(docs, "url_norm", "extracted_text", 0.5)  # already sorted
 
 
 @kgquery("dedup_embedding_pairs")

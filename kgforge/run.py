@@ -26,32 +26,60 @@ def _partition_ranges(n_pages: int, partitions: int) -> list[tuple[int, int]]:
     return [(i, min(i + step, n_pages)) for i in range(0, n_pages, step)]
 
 
-def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int) -> None:
-    import pyarrow.compute as pc
+def _input_partitions(input_dir: str | None, n_pages: int, partitions: int) -> list:
+    """Checkpoint units: parquet-file groups for a real pages corpus
+    (--input), synthetic id ranges otherwise."""
+    if input_dir:
+        import glob
 
+        files = sorted(
+            glob.glob(os.path.join(input_dir, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise SystemExit(f"no parquet files under {input_dir}")
+        k = min(partitions, len(files))
+        step = (len(files) + k - 1) // k
+        return [("files", files[i : i + step]) for i in range(0, len(files), step)]
+    return [("range", r) for r in _partition_ranges(n_pages, partitions)]
+
+
+def _partition_pages(spec, seed: int):
+    """spec → Dataset[pages] for one partition."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .corpus import gen_pages_batch
+    from .sources import read_pages
+
+    kind, val = spec
+    if kind == "files":
+        return read_pages(val)
+    lo, hi = val
+    return rd.range(hi - lo).map_batches(
+        lambda b, off=lo, s=seed: gen_pages_batch(
+            b.set_column(b.schema.get_field_index("id"), "id", pc.add(b["id"], off)), s
+        ),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+
+def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
+               input_dir: str | None = None) -> None:
     from .steps.extract import add_url_norm, extract_docs, lang_filter
     from .steps.ledger import completed_partitions, current_epoch, ledger_row, write_ledger_row
     from .steps.ledger import atomic_write_parquet
 
     done = completed_partitions(out, "docs") if resume else set()
     epoch = current_epoch(out) + 1
-    ranges = _partition_ranges(n_pages, partitions)
-    for pid, (lo, hi) in enumerate(ranges):
+    parts = _input_partitions(input_dir, n_pages, partitions)
+    for pid, spec in enumerate(parts):
         if pid in done:
             print(f"[stage1] partition {pid}: already complete — skipped (resume)")
             continue
         t0 = time.perf_counter()
-        # the partition's pages: ids [lo, hi) via a shifted range source
-        from .corpus import gen_pages_batch
-        import ray.data as rd
-
-        pages = rd.range(hi - lo).map_batches(
-            lambda b, off=lo, s=seed: gen_pages_batch(
-                b.set_column(b.schema.get_field_index("id"), "id", pc.add(b["id"], off)), s
-            ),
-            batch_format="pyarrow",
-            batch_size=512,
-        )
+        pages = _partition_pages(spec, seed)
+        n_pages_part = pages.count()
         ds = pages.map_batches(add_url_norm, batch_format="pyarrow")
         ds = lang_filter(ds)
         docs = extract_docs(ds).materialize()
@@ -62,11 +90,11 @@ def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int)
         atomic_write_parquet(docs, os.path.join(out, "docs", f"part-{pid}"))
         write_ledger_row(
             out,
-            ledger_row(pid, url_min, url_max, epoch, hi - lo, n_docs, -1, "docs",
+            ledger_row(pid, url_min, url_max, epoch, n_pages_part, n_docs, -1, "docs",
                        round(time.perf_counter() - t0, 3)),
             f"part-{pid}",
         )
-        print(f"[stage1] partition {pid}: {hi - lo} pages -> {n_docs} docs")
+        print(f"[stage1] partition {pid}: {n_pages_part} pages -> {n_docs} docs")
 
 
 def run_stage2(out: str, seed: int) -> int:
@@ -112,6 +140,8 @@ def run_stage2(out: str, seed: int) -> int:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="kgforge flagship run (checkpointed)")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--input", default=None,
+                    help="parquet pages dir (default: deterministic synthetic corpus)")
     ap.add_argument("--n-pages", type=int, default=2000)
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
@@ -147,7 +177,8 @@ def main(argv: list[str] | None = None) -> None:
         ray.shutdown()
         return
 
-    run_stage1(args.out, args.n_pages, args.partitions, args.resume, args.seed)
+    run_stage1(args.out, args.n_pages, args.partitions, args.resume, args.seed,
+               input_dir=args.input)
     run_stage2(args.out, args.seed)
     ray.shutdown()
 

@@ -83,14 +83,26 @@ def _rows_touching(sig_ds, dup_h: np.ndarray, columns: list[str]):
     return sig_ds.map_batches(f, batch_format="pyarrow")
 
 
-def neardup_drop_set(docs_ds) -> set[str]:
-    """LSH candidate generation + signature verification + union-find;
-    returns the url_norm drop-set (components keep their min member)."""
-    sig_ds = (
-        docs_ds.select_columns(["url_norm", "extracted_text"])
-        .map_batches(_sig_rows, batch_format="pyarrow")
-        .materialize()  # slim; consumed by the three passes below
+def minhash_sig_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text"):
+    """Generic minhash side dataset: (url_norm=id, sig[128], band_h[16])
+    per row, materialized (slim; consumed by several passes)."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        return _sig_rows(
+            pa.table({"url_norm": batch[id_col], "extracted_text": batch[text_col]})
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(rows, batch_format="pyarrow")
+        .materialize()
     )
+
+
+def candidate_pairs(sig_ds) -> set[tuple[str, str]]:
+    """Unverified LSH candidate pairs from a minhash side dataset.
+    Collision buckets via the repeated-band-hash scan (never a per-group
+    Python call — almost every bucket is a singleton at web scale)."""
     # pass 1: find repeated band hashes (vectorized gather, one np.sort)
     chunks = [
         _flat_i64(b["band_h"])
@@ -140,11 +152,11 @@ def neardup_drop_set(docs_ds) -> set[str]:
                 continue
             for i, j in bucket_pair_policy(members):
                 pairs.add((members[i], members[j]))
-    if not pairs:
-        return set()
+    return pairs
 
-    # pass 3: fetch candidate signatures, verify, union-find
-    cand_ids = sorted({u for p in pairs for u in p})
+
+def fetch_sigs(sig_ds, cand_ids: list[str]) -> dict[str, np.ndarray]:
+    """Broadcast semi-join: signatures of the candidate ids only."""
     id_arr = pa.array(cand_ids, pa.string())
     sig_of: dict[str, np.ndarray] = {}
     cand_sigs = sig_ds.map_batches(
@@ -154,11 +166,33 @@ def neardup_drop_set(docs_ds) -> set[str]:
     for b in cand_sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
             sig_of[u] = np.asarray(s, dtype=np.int64)
+    return sig_of
 
+
+def verified_pairs(sig_ds, threshold: float = NEARDUP_JACCARD) -> list[tuple[str, str, float]]:
+    """candidate pairs → signature-verified (a, b, est_jaccard ≥ threshold),
+    sorted (deterministic)."""
+    pairs = candidate_pairs(sig_ds)
+    if not pairs:
+        return []
+    sig_of = fetch_sigs(sig_ds, sorted({u for p in pairs for u in p}))
+    out = []
+    for a, b in sorted(pairs):
+        if a in sig_of and b in sig_of:
+            j = sig_jaccard(sig_of[a], sig_of[b])
+            if j >= threshold:
+                out.append((a, b, float(j)))
+    return out
+
+
+def neardup_drop_set(docs_ds) -> set[str]:
+    """G3+G4 front: verified near-dup pairs → union-find → url_norm
+    drop-set (components keep their min member)."""
+    sig_ds = minhash_sig_ds(docs_ds)
+    verified = verified_pairs(sig_ds)
     uf = UnionFind()
-    for a, b_ in sorted(pairs):
-        if a in sig_of and b_ in sig_of and sig_jaccard(sig_of[a], sig_of[b_]) >= NEARDUP_JACCARD:
-            uf.union(a, b_)
+    for a, b_, _j in verified:
+        uf.union(a, b_)
     drop: set[str] = set()
     comp: dict[str, list[str]] = {}
     for u in uf.parent:

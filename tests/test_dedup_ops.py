@@ -25,10 +25,8 @@ def docs_ds():
 
 
 def test_minhash_finds_ground_truth_dupes(docs_ds):
-    pairs = {
-        (r["a"], r["b"])
-        for r in minhash_candidate_pairs(docs_ds, "url_norm", "extracted_text", 0.7).take_all()
-    }
+    t = minhash_candidate_pairs(docs_ds, "url_norm", "extracted_text", 0.7)
+    pairs = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
     gt = {
         tuple(sorted((url_normalize(a), url_normalize(b))))
         for a, b in ground_truth_dupes(N)
@@ -44,10 +42,9 @@ def test_minhash_clusters_canonical_min(docs_ds):
 
 
 def test_ngram_jaccard_pairs(docs_ds):
-    pairs = ngram_jaccard_pairs(docs_ds, "url_norm", "extracted_text", 0.5).take_all()
-    assert len(pairs) > 0
-    for r in pairs:
-        assert r["jaccard"] >= 0.5
+    t = ngram_jaccard_pairs(docs_ds, "url_norm", "extracted_text", 0.5)
+    assert t.num_rows > 0
+    assert all(j >= 0.5 for j in t["jaccard"].to_pylist())
 
 
 def test_simhash_pairs(docs_ds):
