@@ -87,17 +87,34 @@ def q1_pricing_summary(sf_dir: str):
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    ds = ds.map_batches(
-        lambda t: t.append_column(
-            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        ),
-        batch_format="pyarrow",
-    )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
+    # E7 pattern: per-batch arrow group_by partials (one row per key per
+    # batch) → global aggregate over the tiny partials. The shuffle moves
+    # ~6 rows per batch instead of every lineitem row.
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        # select by NAME (pyarrow puts key columns last), then rename
+        g = g.select(
+            ["l_returnflag", "l_linestatus", "l_quantity_sum",
+             "l_extendedprice_sum", "disc_price_sum", "l_quantity_count"]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_n", alias_name="count_order"),
     )
     return _round_cols(
         out.to_pandas(), {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2}
