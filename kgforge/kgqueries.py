@@ -343,3 +343,25 @@ def media_frame_sample(sf_dir: str):
 
     ds = rd.from_arrow(synth_media_table(120))
     return frame_sample_stub(ds, every_ms=1000).sort(["media_id", "frame_ms"])
+
+
+@kgquery("stats_quantiles")
+def stats_quantiles(sf_dir: str):
+    """Quantile / Std / AbsMax aggregate coverage (E5 extras) — rows-only
+    (quantile interpolation semantics differ across engines, so no SQL
+    twin; values rounded for cross-process determinism)."""
+    from ray.data.aggregate import Max, Mean, Min, Quantile, Std
+
+    from .relational import read
+
+    ds = read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    agg = ds.aggregate(
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Mean("l_quantity", alias_name="mean_qty"),
+        Std("l_quantity", alias_name="std_qty"),
+        Quantile("l_quantity", q=0.5, alias_name="median_qty"),
+        Quantile("l_extendedprice", q=0.9, alias_name="p90_price"),
+    )
+    row = {k: round(float(v), 3) for k, v in agg.items()}
+    return pd.DataFrame([row])

@@ -822,3 +822,29 @@ def q_events_sessions(sf_dir: str):
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
     out["session_id"] = out["session_id"].astype("int64")
     return _round_cols(out, {"total_value": 2})
+
+
+@query(
+    "q_doc_exact_dedup_sha",
+    """
+    SELECT sha256(text) AS text_sha, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text_sha
+    """,
+)
+def q_doc_exact_dedup_sha(sf_dir: str):
+    """Exact dedup keyed on sha256(text) — the scale-correct key: the
+    shuffle moves 64-char digests, not document bodies."""
+    import hashlib
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text_sha": pa.array(shas, pa.string())})
+
+    return (
+        ds.map_batches(add_sha, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
