@@ -365,3 +365,19 @@ def stats_quantiles(sf_dir: str):
     )
     row = {k: round(float(v), 3) for k, v in agg.items()}
     return pd.DataFrame([row])
+
+
+@kgquery("stats_approx_distinct")
+def stats_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-count (custom mergeable AggregateFnV2 sketch,
+    SURVEY §2.E8) next to the exact count — deterministic (seeded hashes),
+    rows-only."""
+    from .relational import read
+    from .sketches import HllDistinct
+
+    ds = read(sf_dir, "lineitem", ["l_orderkey"]).materialize()
+    approx = ds.aggregate(HllDistinct("l_orderkey", alias_name="nd"))["nd"]
+    exact = len(ds.unique("l_orderkey"))
+    return pd.DataFrame(
+        [{"exact_distinct_orders": exact, "approx_distinct_orders": int(approx)}]
+    )

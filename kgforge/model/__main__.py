@@ -1,0 +1,76 @@
+"""KBModel CLI (SURVEY §3.4):
+
+    python -m kgforge.model learn --triples DIR --out DIR
+    python -m kgforge.model synth --model DIR --scale 2.0 --seed 7 --out DIR
+                                  [--rules]  # mine + replay horn rules
+
+learn: triples parquet → model histograms parquet + N-Triples export.
+synth: model → synthesized triples parquet (optionally rule-replayed).
+Owns its Ray session (guarded)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="kgforge.model")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    lp = sub.add_parser("learn")
+    lp.add_argument("--triples", required=True)
+    lp.add_argument("--out", required=True)
+    sp = sub.add_parser("synth")
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--scale", type=float, default=1.0)
+    sp.add_argument("--seed", type=int, default=7)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--rules", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        ray.data.DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    if args.cmd == "learn":
+        from ..nlp_core import AliasResource
+        from .learn import learn_model, write_model
+        from .rules import mine_rules
+
+        triples = rd.read_parquet(args.triples)
+        model = learn_model(triples, AliasResource.default().id_type)
+        # M3: horn rules are part of the learned model (mined from the
+        # SOURCE graph; replayed at synthesis)
+        model["rules"] = mine_rules(triples, min_support=3, min_confidence=0.3)
+        write_model(model, args.out)
+        print(f"[learn] wrote {len(model)} tables (incl. {len(model['rules'])} rules) -> {args.out}")
+    else:
+        from .learn import read_model
+        from .synth import synthesize
+
+        model = read_model(args.model)
+        syn = synthesize(model, scale=args.scale, seed=args.seed)
+        if args.rules:
+            import pyarrow.parquet as pq
+
+            from .rules import replay_rules
+
+            rules = pq.read_table(os.path.join(args.model, "rules.parquet")).to_pandas()
+            syn = replay_rules(syn, rules, seed=args.seed)
+            print(f"[synth] replayed {len(rules)} learned rules")
+        syn.write_parquet(args.out)
+        print(f"[synth] wrote {syn.count()} triples -> {args.out}")
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,15 @@ def test_gt_quality(oracle):
     ref = oracle.triple_set()
     tp = len(ref & gt)
     assert tp / len(ref) > 0.85 and tp / len(gt) > 0.85
+
+
+def test_block_structure_invariance(corpus):
+    """Flagship output must not depend on input block structure /
+    parallelism (determinism under re-partitioning)."""
+    import ray.data as rd
+
+    from kgforge.pipelines.flagship import run_flagship
+
+    a = run_flagship(rd.from_arrow(corpus).repartition(17)).triples.take_all()
+    b = run_flagship(rd.from_arrow(corpus).repartition(3)).triples.take_all()
+    assert a == b
