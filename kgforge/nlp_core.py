@@ -61,12 +61,21 @@ def _template_to_regex(template: str) -> re.Pattern:
 
 def build_pattern_bank() -> list[SvoPattern]:
     """Deterministically-ordered pattern bank: first match wins, so every
-    worker and the oracle must iterate in this exact order."""
-    bank: list[SvoPattern] = []
+    worker and the oracle must iterate in this exact order.
+
+    Ordered by descending literal length (template text minus the {s}/{o}
+    slots): a more specific template like '{o} was founded by {s}.' must
+    be tried before '{s} founded {o}.', whose lazy captures would
+    otherwise swallow the passive form ('Acme was' / 'by Alice')."""
+    entries: list[tuple[int, str, int, SvoPattern]] = []
     for p in sorted(PREDICATES, key=lambda p: p.name):
-        for tmpl in p.templates:
-            bank.append(SvoPattern(p.name, _template_to_regex(tmpl), 1.0))
-    return bank
+        for ti, tmpl in enumerate(p.templates):
+            literal_len = len(re.sub(r"\{[so]\}", "", tmpl))
+            entries.append(
+                (literal_len, p.name, ti, SvoPattern(p.name, _template_to_regex(tmpl), 1.0))
+            )
+    entries.sort(key=lambda e: (-e[0], e[1], e[2]))
+    return [e[3] for e in entries]
 
 
 def extract_svo(sentence: str, bank: list[SvoPattern]) -> tuple[str, str, str, float] | None:

@@ -115,15 +115,25 @@ class MentionDetector:
         )
 
 
-def link_docs(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 128):
-    """Actor-pool stage: stateful setup amortized across batches."""
-    return docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
-        SvoLinker,
+def link_docs(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 128,
+              num_gpus: float = 0):
+    """Actor-pool stage: stateful setup amortized across batches.
+    ``num_gpus`` is the GPU-backed-pool slot (BASELINE.json north_star):
+    pass num_gpus=1 and swap the linker's scorer for a GPU model — the
+    actor signature and batching are already shaped for it (this sandbox
+    has no GPU, so the default is CPU)."""
+    kwargs = dict(
         fn_constructor_kwargs={"resource_ref": resource_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+    )
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
+    else:
+        kwargs["num_cpus"] = 1
+    return docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
+        SvoLinker, **kwargs
     )
 
 

@@ -78,7 +78,8 @@ def test_gt_quality(oracle):
     gt = ground_truth_triples(N_PAGES)
     ref = oracle.triple_set()
     tp = len(ref & gt)
-    assert tp / len(ref) > 0.85 and tp / len(gt) > 0.85
+    assert tp / len(ref) > 0.85  # precision (ambiguous-alias links)
+    assert tp / len(gt) > 0.95  # recall
 
 
 def test_block_structure_invariance(corpus):
