@@ -53,11 +53,26 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
     return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
 
 
-def train_centroids(ds, n_centroids: int = 16, sample_frac: float = 0.2,
-                    seed: int = 3, iters: int = 8, vec_col: str = "embedding") -> np.ndarray:
-    """Seeded mini k-means on a driver-side sample (the IVF coarse
-    quantizer — small, trained once, then broadcast)."""
-    sample = ds.random_sample(sample_frac, seed=seed).select_columns([vec_col]).take_all()
+def train_centroids(ds, n_centroids: int = 16, sample_mod: int = 5,
+                    seed: int = 3, iters: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Seeded mini k-means on a DETERMINISTIC hash-based sample (id-hash
+    % sample_mod == 0 → ~1/sample_mod of rows; `Dataset.random_sample`
+    varies with block layout, which made the quantizer nondeterministic
+    across processes). The quantizer is small, trained once, broadcast."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    from .extract_core import stable_u64
+
+    def pick(t: pa_.Table) -> pa_.Table:
+        keep = [
+            stable_u64(str(v), "ivfsample") % sample_mod == 0
+            for v in t[id_col].to_pylist()
+        ]
+        return t.select([vec_col]).filter(pa_.array(keep))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").take_all()
     mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

@@ -102,6 +102,10 @@ class AliasResource:
     proto: dict[str, np.ndarray]
     same_as: list[tuple[str, str]]
     mention_re: re.Pattern
+    # corpus-level entity prior: #unambiguous-surface mentions per entity,
+    # computed by a first distributed pass and broadcast back (SURVEY
+    # §2.C2) — used as the second tie-break after cosine
+    prior: dict[str, int] | None = None
 
     @classmethod
     def from_ontology(cls, onto: Ontology) -> "AliasResource":
@@ -114,7 +118,13 @@ class AliasResource:
         mention_re = re.compile(
             r"(?<![A-Za-z0-9])(?:" + pat + r")(?![A-Za-z0-9])"
         )
-        return cls(alias_to_ids, id_type, proto, list(onto.same_as), mention_re)
+        return cls(alias_to_ids, id_type, proto, list(onto.same_as), mention_re, None)
+
+    def with_prior(self, prior: dict[str, int]) -> "AliasResource":
+        return AliasResource(
+            self.alias_to_ids, self.id_type, self.proto, self.same_as,
+            self.mention_re, dict(prior),
+        )
 
     @classmethod
     def default(cls, seed: int = 42) -> "AliasResource":
@@ -149,12 +159,11 @@ def link_surface(
         return None, 0.0
     if len(cands) == 1:
         return cands[0], 1.0
-    best_id, best_score = None, -2.0
-    for c in sorted(cands):
-        s = _cos(ctx, res.proto[c])
-        if s > best_score:  # strict > keeps the lexicographic-min on ties
-            best_id, best_score = c, s
-    return best_id, best_score
+    prior = res.prior or {}
+    # rank: max cosine, then max corpus prior, then lexicographic-min id —
+    # all three exact comparisons, so every worker and the oracle agree
+    best = min(sorted(cands), key=lambda c: (-_cos(ctx, res.proto[c]), -prior.get(c, 0), c))
+    return best, _cos(ctx, res.proto[best])
 
 
 def link_triple(
@@ -175,3 +184,18 @@ def link_triple(
     if o_id is None:
         return None
     return s_id, pred, o_id, min(s_score, o_score)
+
+
+def unambiguous_mention_counts(text: str, res: AliasResource) -> dict[str, int]:
+    """Per-document counts of mentions whose surface maps to exactly ONE
+    entity — the corpus prior's building block (pure; shared by the Ray
+    pass and the oracle)."""
+    from .extract_core import split_sentences
+
+    counts: dict[str, int] = {}
+    for sent in split_sentences(text):
+        for surf, _s, _e in detect_mentions(sent, res):
+            ids = res.alias_to_ids.get(surf)
+            if ids and len(ids) == 1:
+                counts[ids[0]] = counts.get(ids[0], 0) + 1
+    return counts

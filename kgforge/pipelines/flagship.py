@@ -23,7 +23,7 @@ from ..nlp_core import AliasResource
 from ..ontology import get_ontology
 from ..steps.dedup import apply_drop_set, neardup_drop_set
 from ..steps.extract import add_url_norm, exact_dedup, extract_docs, lang_filter
-from ..steps.link import link_docs
+from ..steps.link import entity_prior, link_docs
 from ..steps.materialize import (
     apply_canonical_map,
     canonical_map_from_same_as,
@@ -64,6 +64,9 @@ def run_flagship(
     docs = build_docs(pages_ds).materialize()  # branch point (see module docstring)
     drop = neardup_drop_set(docs)
     kept = apply_drop_set(docs, drop)
+    # corpus prior pass (unambiguous mention counts) → broadcast with the
+    # gazetteer; breaks cosine ties toward the corpus-popular entity
+    res = res.with_prior(entity_prior(kept, res))
     resource_ref = ray.put(res)  # broadcast once; actors ray.get in __init__
     linked = link_docs(kept, resource_ref=resource_ref, concurrency=link_concurrency)
     cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))

@@ -33,7 +33,13 @@ from ..dedup_core import (
     sig_jaccard,
 )
 from ..extract_core import extract_page_text, split_sentences, url_normalize
-from ..nlp_core import AliasResource, build_pattern_bank, extract_svo, link_triple
+from ..nlp_core import (
+    AliasResource,
+    build_pattern_bank,
+    extract_svo,
+    link_triple,
+    unambiguous_mention_counts,
+)
 
 NEARDUP_JACCARD = 0.7
 
@@ -111,6 +117,13 @@ def run_reference(pages: pa.Table, res: AliasResource | None = None) -> Referenc
         keep = min(members)
         drop.update(m for m in members if m != keep)
     kept_urls = sorted(u for u in extracted if u not in drop)
+
+    # -- 3b. corpus prior (same pass as the engine's entity_prior) ----------
+    prior: dict[str, int] = {}
+    for u in kept_urls:
+        for eid, n in unambiguous_mention_counts(extracted[u], res).items():
+            prior[eid] = prior.get(eid, 0) + n
+    res = res.with_prior(prior)
 
     # -- 4. SVO + linking ----------------------------------------------------
     # -- 5. canonicalization (sameAs union-find) -----------------------------

@@ -137,6 +137,38 @@ def link_docs(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 
     )
 
 
+def entity_prior(docs_ds, res: AliasResource) -> dict[str, int]:
+    """Distributed corpus prior: per-batch unambiguous-mention counts
+    (vectorized partials, one (entity, n) row per entity per batch),
+    combined on the driver (entity vocabulary is small — the broadcast
+    side by construction)."""
+    import pyarrow as _pa
+
+    def partial(batch: _pa.Table) -> _pa.Table:
+        from ..nlp_core import unambiguous_mention_counts
+
+        acc: dict[str, int] = {}
+        for text in batch["extracted_text"].to_pylist():
+            for eid, n in unambiguous_mention_counts(text, res).items():
+                acc[eid] = acc.get(eid, 0) + n
+        items = sorted(acc.items())
+        return _pa.table(
+            {
+                "entity_id": _pa.array([k for k, _ in items], _pa.string()),
+                "n": _pa.array([v for _, v in items], _pa.int64()),
+            }
+        )
+
+    prior: dict[str, int] = {}
+    parts = docs_ds.select_columns(["extracted_text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    for b in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for eid, n in zip(b["entity_id"].to_pylist(), b["n"].to_pylist()):
+            prior[eid] = prior.get(eid, 0) + n
+    return prior
+
+
 def detect_mentions_ds(docs_ds, resource_ref=None, concurrency=(2, 8), batch_size: int = 128):
     return docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
         MentionDetector,
