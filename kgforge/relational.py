@@ -848,3 +848,32 @@ def q_doc_exact_dedup_sha(sf_dir: str):
         .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
         .to_pandas()
     )
+
+
+@query(
+    "q_doc_bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish regex tokenizer count (task brief): letter runs, digit runs
+    and punctuation runs count as separate tokens."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        t["text"], pattern=r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
