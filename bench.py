@@ -141,11 +141,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Scaling needs enough WORK to amortize the pipeline's ~3 s fixed
-    latency (shuffle barriers + actor-pool spin-up): 200k pages ≈ 350
-    cpu-seconds, so the lo run is compute-bound and the hi run still ≫
-    fixed cost. Overridable via GRAFT_SCALE_PAGES."""
-    scale_pages = os.environ.get("GRAFT_SCALE_PAGES", "800000")
+    """Scaling needs enough WORK to amortize the pipeline's fixed
+    latency (shuffle barriers + actor-pool spin-up, ~3-10 s): 1.2M pages
+    ≈ 900 cpu-seconds, so the lo leg is compute-bound and the hi leg is
+    still ≫ fixed cost. Overridable via GRAFT_SCALE_PAGES."""
+    scale_pages = os.environ.get("GRAFT_SCALE_PAGES", "1200000")
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 
     def one(ncpu: int) -> dict:

@@ -28,12 +28,13 @@ def _sort_key(t: pa.Table) -> pa.Array:
 def exact_dedup(ds):
     """G2: keep the newest crawl per url_norm.
 
-    v2 design (profiled — see BENCH notes): instead of hash-shuffling full
-    rows and reducing per group (30k Python calls for 30k groups, html
-    riding the shuffle), aggregate only the THIN (url_norm, sort_key)
-    projection (Max per group — a small shuffle), then broadcast-filter the
-    full rows to the winners. Winner set = one entry per distinct url; at
-    10^12-scale replace the broadcast with `Dataset.join` on
+    v3 design (profiled twice — see BASELINE.md optimization log): no
+    groupby at all. Pass 1 streams an 8-byte hash per row to the driver
+    and finds REPEATED url hashes with one np.sort (a groupby would pay
+    Ray's per-group cost on millions of singleton urls); pass 2 collects
+    (url_norm, sort_key) for the duplicated urls only (~2% re-crawl
+    rate), resolves winners on the driver, and broadcast-filters. At
+    10^12-scale with high dup rates replace with `Dataset.join` on
     (url_norm, sort_key) — same semantics, documented tradeoff.
 
     Call AFTER extract_docs so the wide html column never crosses a
