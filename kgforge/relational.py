@@ -877,3 +877,38 @@ def q_doc_bpe_token_counts(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+@query(
+    "q_left_join_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_left_join_order_counts(sf_dir: str):
+    """Outer-join coverage: customers with no orders keep a row with
+    n_orders = 0 (null-aware count on the right side)."""
+    cust = read(sf_dir, "customer", ["c_custkey"])
+    od = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = cust.join(od, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())
+        g = (
+            pa.table({"c_custkey": t["c_custkey"], "has": has})
+            .group_by(["c_custkey"])
+            .aggregate([("has", "sum")])
+        )
+        return g.select(["c_custkey", "has_sum"]).rename_columns(["c_custkey", "p_n"])
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
