@@ -912,3 +912,43 @@ def q_left_join_order_counts(sf_dir: str):
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+@query(
+    "q_events_sliding_2h",
+    """
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def q_events_sliding_2h(sf_dir: str):
+    """Sliding window (size 2h, step 1h): each event lands in two hourly
+    window starts — implemented as a 2× row explode inside map_batches,
+    then a tumbling groupby (the standard batch formulation)."""
+    ds = read(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(t["ts"], unit="hour")
+        w1 = pc.subtract(w0, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "window_start": pa.concat_arrays(
+                    [w0.combine_chunks(), w1.combine_chunks()]
+                ),
+                "value": pa.concat_arrays(
+                    [t["value"].combine_chunks(), t["value"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return _round_cols(out.to_pandas(), {"total_value": 2})

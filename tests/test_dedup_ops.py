@@ -76,3 +76,23 @@ def test_exact_dedup():
     out = out.sort_values("text").reset_index(drop=True)
     assert out["keeper_id"].tolist() == [1, 2]
     assert out["n_copies"].tolist() == [2, 2]
+
+
+def test_sig_jaccard_estimates_true_jaccard():
+    """Property: the MinHash estimate tracks exact Jaccard within the
+    expected binomial error (σ ≈ sqrt(J(1-J)/128) ≈ 0.05)."""
+    import random
+
+    from kgforge.dedup_core import minhash_signature, sig_jaccard
+
+    rng = random.Random(9)
+    base = [f"tok{i}" for i in range(400)]
+    for overlap in (0.2, 0.5, 0.8, 0.95):
+        k = int(len(base) * overlap)
+        other = base[:k] + [f"alt{i}" for i in range(len(base) - k)]
+        a = " ".join(base)
+        b = " ".join(other)
+        sa, sb = shingles(a), shingles(b)
+        true_j = jaccard(sa, sb)
+        est = sig_jaccard(minhash_signature(sa), minhash_signature(sb))
+        assert abs(est - true_j) < 0.15, (overlap, true_j, est)
