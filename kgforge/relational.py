@@ -952,3 +952,32 @@ def q_events_sliding_2h(sf_dir: str):
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     )
     return _round_cols(out.to_pandas(), {"total_value": 2})
+
+
+@query(
+    "q_events_asof_last_signup",
+    """
+    SELECT event_id, user_id,
+           max(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_signup_ts
+    FROM events
+    """,
+)
+def q_events_asof_last_signup(sf_dir: str):
+    """As-of / point-in-time join (SURVEY §2.D5): for every event, the most
+    recent signup ts of the same user at or before it — per-user sorted
+    merge_asof-style forward fill inside groupby(user).map_groups
+    (ray_guide as-of pattern); oracle = running-max window SQL."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        signup_ts = g["ts"].where(g["event_type"] == "signup")
+        # ffill == running max here (ts-ascending order); cummax would
+        # leave NaT holes at non-signup rows
+        g = g.assign(last_signup_ts=signup_ts.ffill())
+        return g[["event_id", "user_id", "last_signup_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
