@@ -73,10 +73,16 @@ def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
     done = completed_partitions(out, "docs") if resume else set()
     epoch = current_epoch(out) + 1
     parts = _input_partitions(input_dir, n_pages, partitions)
+    import glob
+    import shutil
+
     for pid, spec in enumerate(parts):
         if pid in done:
             print(f"[stage1] partition {pid}: already complete — skipped (resume)")
             continue
+        # sweep debris from a crashed previous attempt (staged .tmp dirs)
+        for debris in glob.glob(os.path.join(out, "docs", f"part-{pid}.tmp-*")):
+            shutil.rmtree(debris, ignore_errors=True)
         t0 = time.perf_counter()
         pages = _partition_pages(spec, seed)
         n_pages_part = pages.count()
@@ -114,8 +120,19 @@ def run_stage2(out: str, seed: int) -> int:
         materialize_triples,
     )
 
+    from .steps.ledger import completed_partitions
+
     t0 = time.perf_counter()
-    docs = rd.read_parquet(os.path.join(out, "docs")).materialize()
+    # read ONLY ledger-completed partition dirs — never staged .tmp debris
+    # (read_parquet takes a list of FILES, not directories)
+    import glob as _glob
+
+    part_files: list[str] = []
+    for pid in sorted(completed_partitions(out, "docs")):
+        d = os.path.join(out, "docs", f"part-{pid}")
+        if os.path.isdir(d):
+            part_files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    docs = rd.read_parquet(part_files).materialize()
     docs = exact_dedup(docs)
     drop = neardup_drop_set(docs)
     kept = apply_drop_set(docs, drop)

@@ -68,3 +68,23 @@ def test_ledger_fields(full_run):
     summary = [r for r in led if r["partition_id"] == -1]
     assert len(summary) == 1 and summary[0]["status"] == "materialized"
     assert summary[0]["n_triples"] > 0
+
+
+def test_crash_debris_is_overwritten(tmp_path):
+    """A crash between the staged write and the atomic rename leaves a
+    .tmp dir and no ledger row; a resumed run must re-process that
+    partition cleanly and ignore/replace the debris."""
+    out = str(tmp_path)
+    run_stage1(out, 200, 2, resume=False, seed=42)
+    # simulate debris from a crashed partition-1 attempt + lost ledger row
+    debris = os.path.join(out, "docs", "part-1.tmp-99999")
+    os.makedirs(debris, exist_ok=True)
+    with open(os.path.join(debris, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    os.remove(os.path.join(out, "ledger", "part-1.parquet"))
+    shutil.rmtree(os.path.join(out, "docs", "part-1"))
+    # resume: partition 0 skipped, partition 1 rebuilt
+    run_stage1(out, 200, 2, resume=True, seed=42)
+    assert completed_partitions(out, "docs") == {0, 1}
+    n = run_stage2(out, seed=42)
+    assert n > 0
