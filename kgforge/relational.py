@@ -578,7 +578,7 @@ def q_doc_token_counts(sf_dir: str):
 @query(
     "q_doc_lang_stats",
     """
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            max(n_chars) AS max_chars
     FROM documents GROUP BY lang
     """,
@@ -787,8 +787,8 @@ def q_null_handling(sf_dir: str):
     SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM (
       SELECT user_id, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -61,6 +61,12 @@ def compare_one(name: str, sf_dir: str, con=None) -> tuple[bool, str]:
     if len(eng) != len(ora):
         return False, f"row count {len(eng)} vs {len(ora)}"
     for c in eng.columns:
+        # The driver hashes RAW values, so int64 5 vs float64 5.0 is a
+        # hash miss even when values compare equal — require the same
+        # dtype kind per column before comparing values.
+        if eng[c].dtype.kind != ora[c].dtype.kind:
+            return False, f"dtype mismatch col={c}: {eng[c].dtype} vs {ora[c].dtype}"
+    for c in eng.columns:
         a, b = eng[c], ora[c]
         if pd.api.types.is_float_dtype(a):
             bad = ~((a == b) | (a.isna() & b.isna()))
