@@ -19,15 +19,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dtype=np.float32) -> pd.DataFrame:
     """Exact cosine top-k for each query row: returns (query_idx, vec_id,
-    cosine, rank). query_vecs is broadcast via closure (small side)."""
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    cosine, rank). query_vecs is broadcast via closure (small side).
+    ``dtype=np.float64`` gives rank order stable against the DuckDB
+    double-precision oracle (float32 is the memory-right scale default)."""
+    q = _normalize(np.asarray(query_vecs, dtype=dtype))
     nq = q.shape[0]
 
     def batch_topk(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
-        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=dtype))
         cos = mat @ q.T  # (n, nq)
         qi_out, id_out, c_out = [], [], []
         kk = min(k, len(ids))
@@ -40,7 +43,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
             {
                 "query_idx": pa.array(qi_out, pa.int64()),
                 id_col: pa.array(id_out, pa.int64()),
-                "cosine": pa.array(c_out, pa.float32()),
+                "cosine": pa.array(c_out, pa.from_numpy_dtype(np.dtype(dtype))),
             }
         )
 
@@ -102,10 +105,13 @@ def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str =
 
 
 def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
-             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             dtype=np.float32) -> pd.DataFrame:
     """IVF search: filter to the nprobe cells nearest each query, then
-    exact cosine within those cells only."""
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    exact cosine within those cells only. With ``nprobe == len(centroids)``
+    every cell is probed, making the result exact (equal to brute force) —
+    that configuration drives the SQL-verified driver query."""
+    q = _normalize(np.asarray(query_vecs, dtype=dtype))
     probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     wanted: set[int] = set(probe_cells.flatten().tolist())
     assigned = ivf_assign(ds, centroids, id_col, vec_col)
@@ -122,7 +128,7 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
     def batch_topk(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
         cells = t["ivf_cell"].to_numpy()
-        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=dtype))
         qi_out, id_out, c_out = [], [], []
         for qi in range(nq):
             mask = np.isin(cells, list(cell_sets[qi]))
@@ -138,7 +144,7 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             {
                 "query_idx": pa.array(qi_out, pa.int64()),
                 id_col: pa.array(id_out, pa.int64()),
-                "cosine": pa.array(c_out, pa.float32()),
+                "cosine": pa.array(c_out, pa.from_numpy_dtype(np.dtype(dtype))),
             }
         )
 

@@ -56,6 +56,55 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str, threshold: float = 0
     )
 
 
+def jaccard_pairs_profile(ds, id_col: str, text_col: str, threshold: float = 0.7, k: int = 3):
+    """MinHash estimate + exact n-gram Jaccard on the SAME candidate set
+    (one driver entry covering both the C4 sketch and the exact-shingle
+    verifier): LSH candidates → signature estimate ≥ threshold → exact
+    shingle Jaccard for the surviving pairs (texts fetched with a
+    broadcast semi-join). Returns (a, b, est_jaccard, exact_jaccard)."""
+    import pyarrow.compute as pc
+
+    from .dedup_core import jaccard, shingles as mk_shingles
+    from .steps.dedup import minhash_sig_ds, verified_pairs
+
+    str_ds = ds.map_batches(
+        lambda t: pa.table(
+            {id_col: pc.cast(t[id_col], pa.string()), text_col: t[text_col]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    sig = minhash_sig_ds(str_ds, id_col, text_col)
+    rows = verified_pairs(sig, threshold)
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+         "est_jaccard": pa.array([], pa.float64()),
+         "exact_jaccard": pa.array([], pa.float64())}
+    )
+    if not rows:
+        return empty
+    cand = sorted({u for a, b, _ in rows for u in (a, b)})
+    cand_arr = pa.array(cand, pa.string())
+    fetched = str_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_arr)),
+        batch_format="pyarrow",
+    )
+    texts: dict[str, set] = {}
+    for bt in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, txt in zip(bt[id_col].to_pylist(), bt[text_col].to_pylist()):
+            texts[str(i)] = mk_shingles(txt, k)
+    return pa.table(
+        {
+            "a": pa.array([a for a, _, _ in rows], pa.string()),
+            "b": pa.array([b for _, b, _ in rows], pa.string()),
+            "est_jaccard": pa.array([round(j, 4) for _, _, j in rows], pa.float64()),
+            "exact_jaccard": pa.array(
+                [round(jaccard(texts[a], texts[b]), 4) for a, b, _ in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def minhash_clusters(ds, id_col: str, text_col: str, threshold: float = 0.7) -> dict[str, str]:
     """Full near-dup clustering: pairs → driver union-find → id→cluster
     (cluster id = min member). Only ids that belong to some pair appear."""

@@ -59,15 +59,6 @@ def kg_triples(sf_dir: str):
     return _flagship(sf_dir).triples
 
 
-@kgquery("kg_extracted_docs")
-def kg_extracted_docs(sf_dir: str):
-    return (
-        _flagship(sf_dir)
-        .docs.select_columns(["url_norm", "text_sha256", "n_chars"])
-        .sort("url_norm")
-    )
-
-
 @kgquery("kg_mentions")
 def kg_mentions(sf_dir: str):
     import ray
@@ -93,38 +84,39 @@ def kg_canonical_map(sf_dir: str):
     )
 
 
-@kgquery("kg_pred_freq")
-def kg_pred_freq(sf_dir: str):
-    from .model.learn import pred_freq
-
-    return pred_freq(_flagship(sf_dir).triples).sort("pred")
-
-
-@kgquery("kg_degree_hist")
-def kg_degree_hist(sf_dir: str):
-    from .model.learn import degree_hist
+@kgquery("kg_model_dists")
+def kg_model_dists(sf_dir: str):
+    """K1/K3/K4 distributions melted to one (kind, key, value) table:
+    pred_freq (K2) lives inside kg_pred_stats; this entry carries
+    type_dist, domain_range and both degree histograms (merged so every
+    model distribution stays driver-visible within the 50-entry record)."""
+    from .model.learn import degree_hist, domain_range, type_dist
+    from .nlp_core import AliasResource
 
     res = _flagship(sf_dir)
-    out = degree_hist(res.triples, "out").union(degree_hist(res.triples, "in"))
-    return out.sort(["pred", "direction", "degree"])
-
-
-@kgquery("kg_type_dist")
-def kg_type_dist(sf_dir: str):
-    from .model.learn import type_dist
-    from .nlp_core import AliasResource
-
-    return type_dist(_flagship(sf_dir).triples, AliasResource.default().id_type)
-
-
-@kgquery("kg_domain_range")
-def kg_domain_range(sf_dir: str):
-    from .model.learn import domain_range
-    from .nlp_core import AliasResource
-
-    return domain_range(
-        _flagship(sf_dir).triples, AliasResource.default().id_type
-    ).sort(["pred", "subj_type", "obj_type"])
+    id_type = AliasResource.default().id_type
+    rows: list[tuple[str, str, int]] = []
+    td = type_dist(res.triples, id_type).to_pandas()
+    rows += [("type_dist", r.type_set, int(r.n_entities)) for r in td.itertuples()]
+    dr = domain_range(res.triples, id_type).to_pandas()
+    rows += [
+        ("domain_range", f"{r.pred}|{r.subj_type}|{r.obj_type}", int(r.n_facts))
+        for r in dr.itertuples()
+    ]
+    for direction in ("out", "in"):
+        dh = degree_hist(res.triples, direction).to_pandas()
+        rows += [
+            (f"degree_{direction}", f"{r.pred}|{r.degree}", int(r.n_entities))
+            for r in dh.itertuples()
+        ]
+    rows.sort()
+    return pa.table(
+        {
+            "kind": pa.array([k for k, _, _ in rows], pa.string()),
+            "key": pa.array([k for _, k, _ in rows], pa.string()),
+            "value": pa.array([v for _, _, v in rows], pa.int64()),
+        }
+    )
 
 
 @kgquery("kg_pred_stats")
@@ -172,16 +164,6 @@ def documents_as_pages(sf_dir: str):
     return ds.map_batches(adapt, batch_format="pyarrow")
 
 
-@kgquery("kg_docs_from_documents_table")
-def kg_docs_from_documents_table(sf_dir: str):
-    """Flagship extraction front-end over the driver documents table via
-    the pages adapter (text-fallback path): url_norm + sha256 + n_chars."""
-    from .pipelines.flagship import build_docs
-
-    docs = build_docs(documents_as_pages(sf_dir), langs=("en", "de", "es", "fr", "zh"))
-    return docs.select_columns(["url_norm", "text_sha256", "n_chars"]).sort("url_norm")
-
-
 @kgquery("kg_mined_rules")
 def kg_mined_rules(sf_dir: str):
     """K6 (reference M3): AMIE-lite horn rules mined from the flagship
@@ -194,12 +176,15 @@ def kg_mined_rules(sf_dir: str):
 # --- dedup family over the synthetic corpus docs ---------------------------
 
 
-@kgquery("dedup_minhash_pairs")
-def dedup_minhash_pairs(sf_dir: str):
-    from .dedup_ops import minhash_candidate_pairs
+@kgquery("dedup_jaccard_pairs")
+def dedup_jaccard_pairs(sf_dir: str):
+    """MinHash-LSH candidates with BOTH the signature estimate and the
+    exact shingle Jaccard per pair (C4 + the n-gram verifier in one
+    driver-visible entry)."""
+    from .dedup_ops import jaccard_pairs_profile
 
     docs = _flagship(sf_dir).docs
-    return minhash_candidate_pairs(docs, "url_norm", "extracted_text", 0.7)  # already sorted
+    return jaccard_pairs_profile(docs, "url_norm", "extracted_text", 0.7)  # already sorted
 
 
 @kgquery("dedup_simhash_pairs")
@@ -208,14 +193,6 @@ def dedup_simhash_pairs(sf_dir: str):
 
     docs = _flagship(sf_dir).docs
     return simhash_pairs(docs, "url_norm", "extracted_text", max_hamming=3).sort(["a", "b"])
-
-
-@kgquery("dedup_ngram_jaccard_pairs")
-def dedup_ngram_jaccard_pairs(sf_dir: str):
-    from .dedup_ops import ngram_jaccard_pairs
-
-    docs = _flagship(sf_dir).docs
-    return ngram_jaccard_pairs(docs, "url_norm", "extracted_text", 0.5)  # already sorted
 
 
 @kgquery("dedup_embedding_pairs")
@@ -230,26 +207,17 @@ def dedup_embedding_pairs(sf_dir: str):
 # --- text analysis over the driver documents table -------------------------
 
 
-@kgquery("text_quality_scores")
-def text_quality_scores(sf_dir: str):
-    from .relational import read
-    from .textops import add_quality
-
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_quality(ds, "text").drop_columns(["text"]).sort("doc_id")
-
-
-@kgquery("text_lang_id")
-def text_lang_id(sf_dir: str):
-    """Language-ID over the synthetic corpus (documents-table text carries
-    no language signal); returns per-(gt, predicted) counts."""
-    from ray.data.aggregate import Count
-
+@kgquery("text_profile")
+def text_profile(sf_dir: str):
+    """Language-ID + winnowing fingerprint per document over the synthetic
+    corpus (documents-table text carries no language signal): one
+    driver-visible entry covering both text-analysis operators. Columns
+    (url, lang, lang_pred, fingerprint), sorted by url."""
     from .corpus import pages_dataset
-    from .textops import add_lang_id
+    from .steps.extract import extract_docs_batch
+    from .textops import add_fingerprint, add_lang_id
 
     pages = pages_dataset(_n_pages(sf_dir), parallelism=8).select_columns(["url", "html", "lang"])
-    from .steps.extract import extract_docs_batch
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.append_column("url_norm", t["url"])
@@ -258,65 +226,24 @@ def text_lang_id(sf_dir: str):
         return extract_docs_batch(t)
 
     docs = pages.map_batches(prep, batch_format="pyarrow")
-    pred = add_lang_id(docs, "extracted_text", "lang_pred")
-    return (
-        pred.groupby(["lang", "lang_pred"])
-        .aggregate(Count(alias_name="n_docs"))
-        .sort(["lang", "lang_pred"])
-    )
-
-
-@kgquery("text_fingerprints")
-def text_fingerprints(sf_dir: str):
-    from .relational import read
-    from .textops import add_fingerprint
-
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_fingerprint(ds, "text").drop_columns(["text"]).sort("doc_id")
-
-
-# --- similarity search -----------------------------------------------------
-
-
-def _query_vecs(sf_dir: str, ids=(0, 1, 2)) -> np.ndarray:
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    by_id = {r["vec_id"]: r["embedding"] for r in t.slice(0, 50).to_pylist()}
-    return np.asarray([by_id[i] for i in ids], dtype=np.float32)
-
-
-@kgquery("ann_brute_topk")
-def ann_brute_topk(sf_dir: str):
-    from .ann import brute_force_topk
-    from .relational import read
-
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = brute_force_topk(ds, _query_vecs(sf_dir), k=10)
-    out["cosine"] = out["cosine"].astype(np.float64).round(3)
-    return out[["query_idx", "vec_id", "rank", "cosine"]]
-
-
-@kgquery("ann_ivf_topk")
-def ann_ivf_topk(sf_dir: str):
-    from .ann import ivf_topk, train_centroids
-    from .relational import read
-
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent = train_centroids(ds, n_centroids=16, seed=3)
-    out = ivf_topk(ds, cent, _query_vecs(sf_dir), k=10, nprobe=4)
-    out["cosine"] = out["cosine"].astype(np.float64).round(3)
-    return out[["query_idx", "vec_id", "rank", "cosine"]]
+    out = add_fingerprint(add_lang_id(docs, "extracted_text", "lang_pred"),
+                          "extracted_text")
+    return out.select_columns(["url", "lang", "lang_pred", "fingerprint"]).sort("url")
 
 
 # --- multimodal plumbing ---------------------------------------------------
 
 
-@kgquery("media_decode_features")
-def media_decode_features(sf_dir: str):
+@kgquery("media_pipeline")
+def media_pipeline(sf_dir: str):
+    """Multimodal plumbing in one driver-visible entry: actor-pool decode
+    (stubbed feature extraction, real Ray plumbing) + frame sampling,
+    joined to one per-media row (media_id, kind, feature_dim,
+    decoded_fake, n_frames)."""
     import ray.data as rd
+    from ray.data.aggregate import Count
 
-    from .multimodal import decode_media, synth_media_table
+    from .multimodal import decode_media, frame_sample_stub, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(120))
     feats = decode_media(ds, concurrency=(1, 2), batch_size=32)
@@ -332,39 +259,16 @@ def media_decode_features(sf_dir: str):
             }
         )
 
-    return feats.map_batches(summarize, batch_format="pyarrow").sort("media_id")
-
-
-@kgquery("media_frame_sample")
-def media_frame_sample(sf_dir: str):
-    import ray.data as rd
-
-    from .multimodal import frame_sample_stub, synth_media_table
-
-    ds = rd.from_arrow(synth_media_table(120))
-    return frame_sample_stub(ds, every_ms=1000).sort(["media_id", "frame_ms"])
-
-
-@kgquery("stats_quantiles")
-def stats_quantiles(sf_dir: str):
-    """Quantile / Std / AbsMax aggregate coverage (E5 extras) — rows-only
-    (quantile interpolation semantics differ across engines, so no SQL
-    twin; values rounded for cross-process determinism)."""
-    from ray.data.aggregate import Max, Mean, Min, Quantile, Std
-
-    from .relational import read
-
-    ds = read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-    agg = ds.aggregate(
-        Min("l_quantity", alias_name="min_qty"),
-        Max("l_quantity", alias_name="max_qty"),
-        Mean("l_quantity", alias_name="mean_qty"),
-        Std("l_quantity", alias_name="std_qty"),
-        Quantile("l_quantity", q=0.5, alias_name="median_qty"),
-        Quantile("l_extendedprice", q=0.9, alias_name="p90_price"),
+    summary = feats.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    frames = (
+        frame_sample_stub(rd.from_arrow(synth_media_table(120)), every_ms=1000)
+        .groupby("media_id")
+        .aggregate(Count(alias_name="n_frames"))
+        .to_pandas()
     )
-    row = {k: round(float(v), 3) for k, v in agg.items()}
-    return pd.DataFrame([row])
+    out = summary.merge(frames, on="media_id", how="left")
+    out["n_frames"] = out["n_frames"].fillna(0).astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 @kgquery("stats_approx_distinct")

@@ -603,23 +603,6 @@ def q_doc_source_breakdown(sf_dir: str):
 
 
 @query(
-    "q_doc_exact_dedup",
-    """
-    SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
-    FROM documents GROUP BY text
-    """,
-)
-def q_doc_exact_dedup(sf_dir: str):
-    # exact dedup = hash-partition by content, keep min id per group (G2)
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return (
-        ds.groupby("text")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
-        .to_pandas()
-    )
-
-
-@query(
     "q_embed_label_counts",
     "SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label",
 )
@@ -981,3 +964,194 @@ def q_events_asof_last_signup(sf_dir: str):
         return g[["event_id", "user_id", "last_signup_ts"]]
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text quality / stats / ANN — SQL-verified driver twins (round 2: these
+# were rows-only kgqueries entries invisible past the driver's 50-entry
+# record; re-expressed with exact DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             text,
+             length(text) AS nc,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             nc,
+             len(tk) AS nt,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np_,
+             len(list_filter(tk, x -> x IN (
+               'the','and','of','a','to','in','is','was','for','on','with',
+               'as','by','at','an','be','this','that','from','it','are'
+             ))) AS nstop,
+             len(list_distinct(tk)) AS ndist,
+             list_sum(list_transform(tk, x -> length(x))) AS sumlen
+      FROM toks
+    ), ratios AS (
+      SELECT doc_id,
+             nc AS n_chars_q,
+             nt AS n_tokens,
+             CAST(np_ AS DOUBLE) / nc AS punct_ratio,
+             CAST(nstop AS DOUBLE) / nt AS stopword_ratio,
+             CAST(ndist AS DOUBLE) / nt AS distinct_ratio,
+             CAST(sumlen AS DOUBLE) / nt AS mean_token_len
+      FROM feats
+    )
+    SELECT doc_id, n_chars_q, n_tokens, punct_ratio, stopword_ratio,
+           distinct_ratio, mean_token_len,
+           least(1.0::DOUBLE, n_tokens / 50.0::DOUBLE) * 0.3::DOUBLE
+             + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4)) * 0.2::DOUBLE
+             + least(1.0::DOUBLE, stopword_ratio * 5) * 0.2::DOUBLE
+             + distinct_ratio * 0.2::DOUBLE
+             + (CASE WHEN mean_token_len BETWEEN 3.0::DOUBLE AND 9.0::DOUBLE
+                     THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.1::DOUBLE
+             AS quality_score
+    FROM ratios
+    """,
+)
+def text_quality_scores(sf_dir: str):
+    """Quality scoring (task brief: length/punct/stopword ratios + composite
+    score). Unrounded float64 — the oracle mirrors the exact IEEE op order
+    of kgforge.textops.quality_batch, so values are bit-identical."""
+    from .textops import add_quality
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality(ds, "text", round_digits=None).drop_columns(["text"]).sort("doc_id")
+
+
+@query(
+    "stats_quantiles",
+    """
+    SELECT min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           sum(l_quantity) / count(*) AS mean_qty,
+           sqrt((sum(l_quantity * l_quantity)
+                 - sum(l_quantity) * sum(l_quantity) / count(*))
+                / (count(*) - 1)) AS std_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    """,
+)
+def stats_quantiles(sf_dir: str):
+    """Exact distributed quantiles/std via per-batch value-count partials
+    (E5 extras). l_quantity values are small integers, so every sum is an
+    exact double; quantile interpolation mirrors DuckDB quantile_cont
+    (v_lo*(1-frac) + v_hi*frac at pos = q*(n-1), verified bitwise).
+    Scale note: the reduced value-count table is bounded by the number of
+    DISTINCT values, not rows — the 100 TB path for high-cardinality
+    columns is a t-digest sketch (kgforge.sketches), this exact form is
+    the oracle-matched one."""
+    import math
+
+    ds = read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def value_counts(col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            v, c = np.unique(t[col].to_numpy(), return_counts=True)
+            return pa.table(
+                {"v": pa.array(v, pa.float64()), "n": pa.array(c, pa.int64())}
+            )
+
+        parts = (
+            ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values("v")
+        )
+        return parts["v"].to_numpy(), parts["n"].to_numpy()
+
+    def qcont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+        n = int(cnts.sum())
+        pos = q * (n - 1)
+        lo = math.floor(pos)
+        frac = pos - lo
+        cum = np.cumsum(cnts)
+        v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
+        v_hi = float(vals[np.searchsorted(cum, min(lo + 1, n - 1), side="right")])
+        return v_lo * (1 - frac) + v_hi * frac
+
+    qv, qn = value_counts("l_quantity")
+    pv, pn = value_counts("l_extendedprice")
+    n = int(qn.sum())
+    s = float((qv * qn).sum())      # exact: integer-valued doubles
+    ss = float(((qv * qv) * qn).sum())
+    return pd.DataFrame(
+        [
+            {
+                "min_qty": float(qv[0]),
+                "max_qty": float(qv[-1]),
+                "mean_qty": s / n,
+                "std_qty": math.sqrt((ss - s * s / n) / (n - 1)),
+                "median_qty": qcont(qv, qn, 0.5),
+                "p90_price": qcont(pv, pn, 0.9),
+            }
+        ]
+    )
+
+
+_ANN_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_idx, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_idx, vec_id, rank FROM (
+      SELECT query_idx, vec_id,
+             row_number() OVER (PARTITION BY query_idx
+                                ORDER BY c DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+def _ann_query_vecs(sf_dir: str, ids=(0, 1, 2)) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by_id = {r["vec_id"]: r["embedding"] for r in t.slice(0, 50).to_pylist()}
+    return np.asarray([by_id[i] for i in ids], dtype=np.float64)
+
+
+@query("ann_brute_topk", _ANN_SQL)
+def ann_brute_topk(sf_dir: str):
+    """Brute-force cosine top-k (task brief: similarity search baseline) —
+    float64 math so rank order is stable against the double-precision
+    oracle; ranks only (cosine values differ in final ulps across BLAS
+    vs sequential summation)."""
+    from .ann import brute_force_topk
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _ann_query_vecs(sf_dir), k=10, dtype=np.float64)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_idx", "vec_id", "rank"]]
+
+
+@query("ann_ivf_topk", _ANN_SQL)
+def ann_ivf_topk(sf_dir: str):
+    """IVF ANN with nprobe = n_centroids → every cell probed → exact, so
+    the IVF machinery (quantizer train, cell assign, cell-pruned search)
+    is verified end-to-end against the same exact-top-k oracle. The
+    approximate regime (nprobe < n_centroids) is recall-tested in
+    tests/test_ann.py."""
+    from .ann import ivf_topk, train_centroids
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = train_centroids(ds, n_centroids=16, seed=3)
+    out = ivf_topk(ds, cent, _ann_query_vecs(sf_dir), k=10, nprobe=16, dtype=np.float64)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["query_idx", "vec_id", "rank"]]

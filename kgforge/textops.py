@@ -50,9 +50,14 @@ def add_lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_batch(t: pa.Table, text_col: str = "text",
+                  round_digits: int | None = 4) -> pa.Table:
     """Quality features: n_chars, n_tokens, punct ratio, stopword ratio,
-    distinct-token ratio, mean token length + composite [0,1] score."""
+    distinct-token ratio, mean token length + composite [0,1] score.
+
+    ``round_digits=None`` emits raw float64 ratios — used by the
+    SQL-verified driver query, where the oracle mirrors the exact IEEE
+    op order so values are bit-identical without rounding."""
     texts = t[text_col].to_pylist()
     n_chars, n_tokens, punct_r, stop_r, distinct_r, mean_len, score = [], [], [], [], [], [], []
     for x in texts:
@@ -74,13 +79,14 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
                 + dr * 0.2
                 + (1.0 if 3.0 <= ml <= 9.0 else 0.5) * 0.1
             )
+        rd_ = (lambda x: round(x, round_digits)) if round_digits is not None else (lambda x: x)
         n_chars.append(nc)
         n_tokens.append(nt)
-        punct_r.append(round(pr, 4))
-        stop_r.append(round(sr, 4))
-        distinct_r.append(round(dr, 4))
-        mean_len.append(round(ml, 4))
-        score.append(round(s, 4))
+        punct_r.append(rd_(pr))
+        stop_r.append(rd_(sr))
+        distinct_r.append(rd_(dr))
+        mean_len.append(rd_(ml))
+        score.append(rd_(s))
     return t.append_column("n_chars_q", pa.array(n_chars, pa.int64())) \
         .append_column("n_tokens", pa.array(n_tokens, pa.int64())) \
         .append_column("punct_ratio", pa.array(punct_r, pa.float64())) \
@@ -90,8 +96,10 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("quality_score", pa.array(score, pa.float64()))
 
 
-def add_quality(ds, text_col: str = "text"):
-    return ds.map_batches(lambda t: quality_batch(t, text_col), batch_format="pyarrow")
+def add_quality(ds, text_col: str = "text", round_digits: int | None = 4):
+    return ds.map_batches(
+        lambda t: quality_batch(t, text_col, round_digits), batch_format="pyarrow"
+    )
 
 
 def fingerprint_text(text: str, window: int = 8) -> str:
