@@ -64,19 +64,54 @@ def _partition_pages(spec, seed: int):
     )
 
 
+def _check_run_params(out: str, resume: bool, **params) -> None:
+    """Record run parameters at out/ledger/params.json; on --resume,
+    refuse to mix checkpoints from a run with different parameters
+    (changed --n-pages/--partitions/--input silently skips or mixes
+    stale partitions otherwise)."""
+    import json
+
+    ldir = os.path.join(out, "ledger")
+    os.makedirs(ldir, exist_ok=True)
+    path = os.path.join(ldir, "params.json")
+    if resume and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise SystemExit(
+                f"--resume with changed run parameters: checkpoint was built "
+                f"with {prev}, this run asks for {params}; use a fresh --out "
+                "or matching parameters"
+            )
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, path)
+
+
 def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
-               input_dir: str | None = None) -> None:
+               input_dir: str | None = None, stop_after: int | None = None) -> None:
+    """``stop_after=K`` processes at most K not-yet-done partitions then
+    returns (crash simulation for the resume test) — the recorded run
+    parameters stay those of the FULL run, so --resume validates."""
     from .steps.extract import add_url_norm, extract_docs, lang_filter
     from .steps.ledger import completed_partitions, current_epoch, ledger_row, write_ledger_row
     from .steps.ledger import atomic_write_parquet
 
+    _check_run_params(out, resume, n_pages=n_pages, partitions=partitions,
+                      seed=seed, input=input_dir)
     done = completed_partitions(out, "docs") if resume else set()
     epoch = current_epoch(out) + 1
     parts = _input_partitions(input_dir, n_pages, partitions)
     import glob
     import shutil
 
+    n_ran = 0
     for pid, spec in enumerate(parts):
+        if stop_after is not None and n_ran >= stop_after:
+            print(f"[crash-sim] stopping after {n_ran} partitions")
+            return
         if pid in done:
             print(f"[stage1] partition {pid}: already complete — skipped (resume)")
             continue
@@ -100,6 +135,7 @@ def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
                        round(time.perf_counter() - t0, 3)),
             f"part-{pid}",
         )
+        n_ran += 1
         print(f"[stage1] partition {pid}: {n_pages_part} pages -> {n_docs} docs")
 
 
@@ -128,15 +164,32 @@ def run_stage2(out: str, seed: int) -> int:
     import glob as _glob
 
     part_files: list[str] = []
-    for pid in sorted(completed_partitions(out, "docs")):
+    done = sorted(completed_partitions(out, "docs"))
+    if not done:
+        raise SystemExit(f"stage2: no ledger-completed partitions under {out}")
+    for pid in done:
         d = os.path.join(out, "docs", f"part-{pid}")
-        if os.path.isdir(d):
-            part_files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"stage2: ledger marks partition {pid} complete but {d} is "
+                "missing — the checkpoint dir was deleted or the ledger is "
+                "stale; re-run stage 1 without --resume"
+            )
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            raise SystemExit(f"stage2: completed partition dir {d} holds no parquet files")
+        part_files.extend(files)
     docs = rd.read_parquet(part_files).materialize()
     docs = exact_dedup(docs)
     drop = neardup_drop_set(docs)
     kept = apply_drop_set(docs, drop)
     res = AliasResource.from_ontology(get_ontology(seed))
+    # corpus-prior pass (unambiguous-mention counts over the kept docs) —
+    # same disambiguation tie-break as run_flagship / reference emitter
+    # step 3b; without it CLI triples diverge on cosine-tied mentions
+    from .steps.link import entity_prior
+
+    res = res.with_prior(entity_prior(kept, res))
     linked = link_docs(kept, resource_ref=ray.put(res))
     cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))
     triples = materialize_triples(apply_canonical_map(linked, cmap)).materialize()
@@ -180,17 +233,10 @@ def main(argv: list[str] | None = None) -> None:
         ray.data.DataContext.get_current().enable_progress_bars = False
 
     if args.stop_after >= 0:
-        # run only the first K partitions, then exit (for the resume test)
-        from .steps.ledger import completed_partitions
-
-        before = len(completed_partitions(args.out, "docs")) if args.resume else 0
-        n_total = args.partitions
-        k = min(args.stop_after, n_total)
-        # emulate by trimming partitions: run stage1 with a trimmed page range
-        ranges = _partition_ranges(args.n_pages, args.partitions)
-        trimmed_pages = ranges[k - 1][1] if k > 0 else 0
-        run_stage1(args.out, trimmed_pages, k, args.resume, args.seed)
-        print(f"[crash-sim] stopped after {k} partitions (had {before} done)")
+        # run only the first K not-yet-done partitions, then exit (crash
+        # simulation for the resume test) — full-run parameters recorded
+        run_stage1(args.out, args.n_pages, args.partitions, args.resume, args.seed,
+                   input_dir=args.input, stop_after=args.stop_after)
         ray.shutdown()
         return
 

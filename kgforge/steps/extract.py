@@ -18,11 +18,16 @@ def add_url_norm(batch: pa.Table) -> pa.Table:
 
 def _sort_key(t: pa.Table) -> pa.Array:
     """Total-order key for 'newest crawl wins': zero-padded µs timestamp
-    concatenated with the raw url (deterministic tie-break). String-max of
-    this key == max (warc_ts, url) tuple."""
+    concatenated with the raw url (deterministic tie-break), then the
+    content sha when available — so two rows tie ONLY when (warc_ts, url,
+    content) are all equal, i.e. byte-identical duplicate pages. String-max
+    of this key == max (warc_ts, url, sha) tuple."""
     ts = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
     ts_pad = pc.utf8_lpad(ts, 20, "0")
-    return pc.binary_join_element_wise(ts_pad, t["url"], "|")
+    key = pc.binary_join_element_wise(ts_pad, t["url"], "|")
+    if "text_sha256" in t.column_names:
+        key = pc.binary_join_element_wise(key, t["text_sha256"], "|")
+    return key
 
 
 def exact_dedup(ds):
@@ -79,17 +84,28 @@ def exact_dedup(ds):
         return thin.filter(pa.array(mask))
 
     win_of: dict[str, str] = {}
+    win_count: dict[str, int] = {}
     for b in ds.map_batches(_dup_rows, batch_format="pyarrow").iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         for u, k in zip(b["url_norm"].to_pylist(), b["sort_key"].to_pylist()):
             if u not in win_of or k > win_of[u]:
                 win_of[u] = k
+                win_count[u] = 1
+            elif k == win_of[u]:
+                win_count[u] += 1
     if not win_of:
         return ds
+    # urls whose winning key is shared by >1 row: byte-identical duplicate
+    # pages (same ts, url AND content — _sort_key includes the sha). The
+    # reference emitter keeps exactly ONE row per url_norm, so these are
+    # dropped in the streaming filter and exactly one representative per
+    # url is re-injected (gathered on the driver: ties are rare and tiny).
+    tied = sorted(u for u, n in win_count.items() if n > 1)
     items = sorted(win_of.items())
     dup_keys = pa.array([u for u, _ in items], pa.string())
     dup_wins = pa.array([w for _, w in items], pa.string())
+    tied_arr = pa.array(tied, pa.string())
 
     def keep_winners(t: pa.Table) -> pa.Table:
         idx = pc.index_in(t["url_norm"], value_set=dup_keys)
@@ -97,9 +113,39 @@ def exact_dedup(ds):
         keep = pc.or_kleene(
             pc.is_null(idx), pc.equal(_sort_key(t), win)
         )
+        if len(tied):
+            keep = pc.and_kleene(
+                pc.fill_null(keep, True),
+                pc.invert(pc.is_in(t["url_norm"], value_set=tied_arr)),
+            )
         return t.filter(pc.fill_null(keep, True))
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow")
+    out = ds.map_batches(keep_winners, batch_format="pyarrow")
+    if not tied:
+        return out
+    # gather ONE representative row per tied url (rows are byte-identical
+    # up to column order; sort for a deterministic pick regardless of
+    # block layout) and union it back in
+    import ray.data as rd
+
+    rescued: dict[str, tuple[str, pa.Table]] = {}
+    winkey = {u: win_of[u] for u in tied}
+    fetched = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["url_norm"], value_set=tied_arr)),
+        batch_format="pyarrow",
+    )
+    for b in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        keys = _sort_key(b).to_pylist()
+        for i, (u, k) in enumerate(zip(b["url_norm"].to_pylist(), keys)):
+            if k != winkey[u]:
+                continue
+            # deterministic pick independent of block order: min over the
+            # full row serialization (ties differ at most in metadata cols)
+            row_repr = repr(sorted(b.slice(i, 1).to_pylist()[0].items()))
+            if u not in rescued or row_repr < rescued[u][0]:
+                rescued[u] = (row_repr, b.slice(i, 1))
+    one_each = pa.concat_tables([rescued[u][1] for u in sorted(rescued)])
+    return out.union(rd.from_arrow(one_each))
 
 
 def lang_filter(ds, langs: tuple[str, ...] = ("en",)):

@@ -48,6 +48,13 @@ class SvoLinker:
         o_o: list[str] = []
         o_score: list[float] = []
         for u, text in zip(urls, texts):
+            # per-doc (s,p,o) dedup at emission: the reference emitter
+            # collapses a triple repeated within one doc into one source
+            # url (set semantics, reference/emitter.py step 6), and the
+            # materialize combiner's within-batch distinct relies on
+            # (s,p,o,url) being globally unique — which only per-doc
+            # dedup here can guarantee once blocks re-chunk downstream.
+            seen_spo: set[tuple[str, str, str]] = set()
             for si, sent in enumerate(split_sentences(text)):
                 svo = extract_svo(sent, self.bank)
                 if svo is None:
@@ -56,6 +63,9 @@ class SvoLinker:
                 if linked is None:
                     continue
                 s_id, pred, obj_id, score = linked
+                if (s_id, pred, obj_id) in seen_spo:
+                    continue
+                seen_spo.add((s_id, pred, obj_id))
                 o_url.append(u)
                 o_sent.append(si)
                 o_s.append(s_id)

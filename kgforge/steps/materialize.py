@@ -56,8 +56,13 @@ def apply_canonical_map(linked_ds, cmap: dict[str, str]):
 
 def _partial_agg(t: pa.Table) -> pa.Table:
     """Combiner (E7): within-batch distinct (s,p,o,url) → one partial row
-    per (s,p,o) with partial n_sources + min url. (s,p,o,url) is globally
-    distinct because each url lives in exactly one upstream row."""
+    per (s,p,o) with partial n_sources + min url.
+
+    PRECONDITION: (s,p,o,url) is globally distinct in the input. The
+    SvoLinker guarantees it by deduping (s,p,o) per doc at emission (a
+    doc's url appears in exactly one upstream row, and downstream
+    re-chunking can otherwise split a doc's repeated triples across
+    batch boundaries, double-counting its url in n_sources)."""
     if t.num_rows == 0:
         return pa.table(
             {

@@ -29,7 +29,7 @@ def full_run(tmp_path_factory):
 def resumed_run(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("resumed"))
     # crash simulation: only the first 3 partitions complete...
-    run_stage1(out, N_PAGES // 2, 3, resume=False, seed=42)
+    run_stage1(out, N_PAGES, PARTS, resume=False, seed=42, stop_after=3)
     # ...then the job restarts with --resume and the full input
     run_stage1(out, N_PAGES, PARTS, resume=True, seed=42)
     run_stage2(out, seed=42)
@@ -68,6 +68,34 @@ def test_ledger_fields(full_run):
     summary = [r for r in led if r["partition_id"] == -1]
     assert len(summary) == 1 and summary[0]["status"] == "materialized"
     assert summary[0]["n_triples"] > 0
+
+
+def test_resume_with_changed_params_refused(tmp_path):
+    out = str(tmp_path)
+    run_stage1(out, 200, 2, resume=False, seed=42)
+    with pytest.raises(SystemExit, match="changed run parameters"):
+        run_stage1(out, 400, 4, resume=True, seed=42)
+
+
+def test_stage2_missing_checkpoint_dir_refused(tmp_path):
+    out = str(tmp_path)
+    run_stage1(out, 200, 2, resume=False, seed=42)
+    shutil.rmtree(os.path.join(out, "docs", "part-1"))  # ledger row remains
+    with pytest.raises(SystemExit, match="part-1.*missing|missing"):
+        run_stage2(out, seed=42)
+
+
+def test_cli_triples_match_flagship(full_run):
+    """ADVICE r1: run_stage2 must apply the same corpus-prior
+    disambiguation pass as run_flagship — CLI triples and library
+    flagship triples over the same corpus must be identical."""
+    from kgforge.corpus import pages_dataset
+    from kgforge.pipelines.flagship import run_flagship
+
+    res = run_flagship(pages_dataset(N_PAGES, parallelism=4))
+    a = res.triples.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = _triples(full_run)
+    assert a.equals(b), "CLI stage-2 triples diverge from run_flagship"
 
 
 def test_crash_debris_is_overwritten(tmp_path):

@@ -30,6 +30,35 @@ def _skewed_linked(n=20_000, seed=3):
     )
 
 
+def test_linker_dedups_repeated_triple_within_doc():
+    """ADVICE r1: a doc repeating the same fact in many sentences must
+    emit ONE (s,p,o) row — otherwise re-chunking can split the repeats
+    across batch boundaries and _partial_agg double-counts its url."""
+    from kgforge.nlp_core import AliasResource
+    from kgforge.steps.link import SvoLinker
+
+    linker = SvoLinker()
+    # find a sentence the bank actually extracts from, then repeat it
+    probe = linker(pa.table({
+        "url_norm": pa.array(["u1"], pa.string()),
+        "extracted_text": pa.array(
+            ["Umar Tanaka works for Juniper Labs."], pa.string()),
+    }))
+    assert probe.num_rows == 1, "probe sentence should link to one triple"
+    repeated = " ".join(["Umar Tanaka works for Juniper Labs."] * 7)
+    out = linker(pa.table({
+        "url_norm": pa.array(["u1"], pa.string()),
+        "extracted_text": pa.array([repeated], pa.string()),
+    }))
+    assert out.num_rows == 1, "repeated fact within one doc must emit once"
+    # two docs may still emit the same (s,p,o) — one row each
+    two = linker(pa.table({
+        "url_norm": pa.array(["u1", "u2"], pa.string()),
+        "extracted_text": pa.array([repeated, repeated], pa.string()),
+    }))
+    assert two.num_rows == 2
+
+
 def test_two_level_equals_naive():
     t = _skewed_linked()
     # naive single-pass (pandas): distinct (s,p,o,url) → counts + min url
