@@ -178,9 +178,13 @@ def gen_page_row(i: int, seed: int = 42, onto: Ontology | None = None) -> dict:
     warc_ts = BASE_TS + _dt.timedelta(seconds=int(ts_off))
 
     if kind == "recrawl":
-        # same logical url as predecessor, fragment + reordered query, later ts
+        # same logical url as predecessor — fragment appended, which
+        # url_normalize strips, so BOTH rows share one url_norm and exact
+        # dedup (G2) genuinely supersedes the first crawl (round 2 fix:
+        # the old "?b=2&a=1" variant produced a DIFFERENT url_norm than
+        # the query-less base, making flagship G2 a silent no-op)
         base = page_url(i - 1)
-        url = base + "?b=2&a=1#reader"
+        url = base + "#reader"
         prev_rng = _page_rng(i - 1, seed)
         prev_kind = _page_kind(i - 1, prev_rng)
         suffix = "mirror" if prev_kind == "neardup" else "notes"

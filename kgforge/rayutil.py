@@ -1,0 +1,38 @@
+"""Small Ray Data utilities shared across stages."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def ensure_schema(ds, schema: pa.Schema):
+    """Coalesce schema-less empty blocks to the given schema.
+
+    Ray 2.49's hash-shuffle operators emit EMPTY blocks with no schema
+    for empty partitions ("Operator produced a RefBundle with a different
+    schema" warnings); a downstream pyarrow/acero join then fails with
+    "No match ... for key field reference" when such a block reaches it.
+    Mapping every block through a schema-pinning identity fixes the
+    lineage at negligible cost."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sever_plan(ds):
+    """Rebuild a (materialized) Dataset from its raw Arrow block refs,
+    discarding the logical plan.
+
+    Iterative pipelines (label propagation) that fold a dataset back
+    into itself via union re-NEST the logical plan every round even
+    through ``materialize()``; planning cost then grows ~2× per round
+    (measured: 0.2 s → 8 s by round 11). ``from_arrow_refs`` keeps the
+    blocks in the object store (zero copy) and gives the next round a
+    flat, single-source plan."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.to_arrow_refs())

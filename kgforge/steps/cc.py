@@ -2,11 +2,19 @@
 (SURVEY §4.5 — the 10^12-scale alternative to driver union-find).
 
 Each round: every node's label becomes the min of its own label and its
-neighbors' labels — one `groupby(node).min(label)` shuffle per round;
-converges in O(log diameter) rounds. The flagship uses driver-side
-union-find (its edge sets are provably tiny); this operator exists for
-the regime where even the edge list exceeds driver memory, and is
-equivalence-tested against union-find.
+neighbors' labels, then labels are pointer-jumped (label(node) ←
+label(label(node))) — converging in O(log diameter) rounds. The flagship
+uses driver-side union-find below the corpus threshold (its edge sets
+are provably tiny); this operator is what `neardup_drop_set` switches to
+above it, and is equivalence-tested against union-find.
+
+Implementation note: every exchange here is a ``groupby`` — deliberately
+NOT ``Dataset.join``. Ray 2.49's hash-join aggregator intermittently
+fails ("No match ... for key field reference") when several joins run in
+one process, and a lookup join can always be phrased as a union +
+groupby over (key, tagged rows): the label of ``src`` meets the edge
+rows of ``src`` inside one group. Same shuffle volume, one robust
+operator.
 
 The ledger records the round ("checkpoint epoch") so propagation is
 resumable: persist `labels` parquet per round and restart from the last
@@ -16,8 +24,14 @@ one.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Min
+
+from ..rayutil import ensure_schema, sever_plan
+
+_LABELS = pa.schema([("node", pa.string()), ("label", pa.string())])
+_TAGGED = pa.schema([("key", pa.string()), ("kind", pa.string()), ("val", pa.string())])
 
 
 def _sym_edges(edges_ds):
@@ -36,57 +50,105 @@ def _sym_edges(edges_ds):
     return edges_ds.map_batches(f, batch_format="pyarrow")
 
 
-def cc_label_propagation(edges_ds, max_rounds: int = 50):
+def _lookup_groupby(keyed_rows, labels_rows):
+    """The join-free lookup: union tagged (key, 'e', payload) edge rows
+    with (key, 'l', label) rows, group by key, and stamp every payload
+    with the group's (unique) label → Dataset(node, label) candidates."""
+
+    def resolve(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_pylist()
+        vals = g["val"].to_pylist()
+        lab = None
+        for k, v in zip(kinds, vals):
+            if k == "l" and (lab is None or v < lab):
+                lab = v
+        if lab is None:
+            return _LABELS.empty_table()
+        out = [v for k, v in zip(kinds, vals) if k == "e"]
+        if not out:
+            return _LABELS.empty_table()
+        return pa.table(
+            {
+                "node": pa.array(out, pa.string()),
+                "label": pa.array([lab] * len(out), pa.string()),
+            }
+        )
+
+    # materialized: chaining this groupby straight into the caller's next
+    # groupby (through a union) pipelines two all-to-all stages in one
+    # streaming plan, which deadlocks under Ray 2.49's resource
+    # reservation at low CPU counts; the label table is edge-node-bounded
+    # (small), so the break costs little
+    return (
+        keyed_rows.union(labels_rows)
+        .groupby("key")
+        .map_groups(resolve, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def cc_label_propagation(edges_ds, max_rounds: int = 50, num_blocks: int = 8):
     """edges(a,b) → Dataset(node, label) with label = component min id.
 
-    Per round: propagate each node's current label to its neighbors
-    (broadcast of the label map would defeat the purpose — instead the
-    label table is JOINED to the symmetric edge list on src), then take
-    the min per node over (own label ∪ incoming labels).
-    """
+    ``num_blocks`` pins the label table's block count per round — the
+    per-round ``union`` otherwise DOUBLES blocks (2^rounds blocks by
+    round 8, measured 24 s/round from pure scheduling overhead); size it
+    to the cluster at scale."""
     sym = _sym_edges(edges_ds).materialize()
 
     # initial labels: every endpoint labels itself
-    labels = sym.map_batches(
-        lambda t: pa.table({"node": t["src"], "label": t["src"]}),
-        batch_format="pyarrow",
-    ).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+    labels = ensure_schema(
+        sym.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        ).groupby("node").aggregate(Min("label", alias_name="label")),
+        _LABELS,
+    ).materialize()
+    labels = sever_plan(labels)
+
+    def tag(ds, key_col: str, kind: str, val_col: str):
+        return ensure_schema(
+            ds.map_batches(
+                lambda t, k=key_col, s=kind, v=val_col: pa.table(
+                    {
+                        "key": t[k],
+                        "kind": pa.array([s] * t.num_rows, pa.string()),
+                        "val": t[v],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            _TAGGED,
+        )
 
     prev_sum = _checksum(labels)
     for _round in range(max_rounds):
-        # (1) neighbor min: edges ⋈ labels on src → (dst, label-of-src)
-        prop = sym.join(
-            labels, join_type="inner", num_partitions=8,
-            on=("src",), right_on=("node",),
-        ).map_batches(
-            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-            batch_format="pyarrow",
+        # (1) neighbor min: label(src) reaches every dst through the
+        # groupby(key=src) of tagged edge+label rows
+        prop = _lookup_groupby(
+            tag(sym, "src", "e", "dst"), tag(labels, "node", "l", "label")
         )
-        labels1 = (
+        labels1 = ensure_schema(
             labels.union(prop)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+            .repartition(num_blocks),
+            _LABELS,
+        ).materialize()
+        labels1 = sever_plan(labels1)
         # (2) pointer jump: label(node) ← label(label(node)) — contracts
         # chains geometrically, giving O(log diameter) total rounds
-        jump = labels1.join(
-            labels1.map_batches(
-                lambda t: pa.table({"jnode": t["node"], "jlabel": t["label"]}),
-                batch_format="pyarrow",
-            ),
-            join_type="inner", num_partitions=8,
-            on=("label",), right_on=("jnode",),
-        ).map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["jlabel"]}),
-            batch_format="pyarrow",
+        jump = _lookup_groupby(
+            tag(labels1, "label", "e", "node"), tag(labels1, "node", "l", "label")
         )
-        new_labels = (
+        new_labels = ensure_schema(
             labels1.union(jump)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+            .repartition(num_blocks),
+            _LABELS,
+        ).materialize()
+        new_labels = sever_plan(new_labels)
         # convergence: deterministic checksum of (node, label)
         new_sum = _checksum(new_labels)
         if new_sum == prev_sum:

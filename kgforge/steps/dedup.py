@@ -185,10 +185,187 @@ def verified_pairs(sig_ds, threshold: float = NEARDUP_JACCARD) -> list[tuple[str
     return out
 
 
-def neardup_drop_set(docs_ds) -> set[str]:
-    """G3+G4 front: verified near-dup pairs → union-find → url_norm
-    drop-set (components keep their min member)."""
+# above this doc count the driver-side collision scan (128 B/doc band
+# gather + pair forming + union-find) flips to the fully distributed
+# band-groupby → pair map_groups → sig-join verify → cc_label_propagation
+# plan; override via KGFORGE_NEARDUP_DIST_ROWS
+NEARDUP_DISTRIBUTED_ROWS = 5_000_000
+
+
+def _pairs_ds_distributed(sig_ds):
+    """Distributed candidate pairing: exploded (band_h, url) rows →
+    groupby(band_h) count>1 (the only corpus-sized shuffle; moves 16
+    int64s per doc) → per-bucket pair forming under the SHARED
+    bucket_pair_policy → Dataset(a, b). Only collision buckets ever reach
+    a Python group callable — singletons die in the count filter."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat = _flat_i64(t["band_h"])
+        urls = np.repeat(np.asarray(t["url_norm"].to_pylist(), dtype=object), LSH_BANDS)
+        return pa.table(
+            {
+                "band_h": pa.array(flat, pa.int64()),
+                "url_norm": pa.array(urls, pa.string()),
+            }
+        ) if n else pa.table(
+            {"band_h": pa.array([], pa.int64()), "url_norm": pa.array([], pa.string())}
+        )
+
+    bands = sig_ds.select_columns(["url_norm", "band_h"]).map_batches(
+        explode, batch_format="pyarrow"
+    ).materialize()
+    dup_h = (
+        bands.groupby("band_h")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_h"]),
+            batch_format="pyarrow",
+        )
+    )
+    # collision hashes are the SMALL side (near-dups + rare collisions) —
+    # broadcast them into the filter instead of a second corpus shuffle
+    dup_arr = np.sort(_flat_i64_col(dup_h, "band_h"))
+    if not len(dup_arr):
+        return None
+    hits = bands.map_batches(
+        lambda t, d=dup_arr: t.filter(
+            pa.array(np.isin(t["band_h"].to_numpy(), d))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def form_pairs(group: pa.Table) -> pa.Table:
+        members = sorted(set(group["url_norm"].to_pylist()))
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
+        if len(members) < 2:
+            return empty
+        a_out, b_out = [], []
+        for i, j in bucket_pair_policy(members):
+            a_out.append(members[i])
+            b_out.append(members[j])
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string())}
+        )
+
+    pairs = hits.groupby("band_h").map_groups(form_pairs, batch_format="pyarrow")
+    # the same pair can surface from several bands — make edges distinct
+    from ray.data.aggregate import Count
+
+    from ..rayutil import ensure_schema
+
+    return ensure_schema(
+        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"]),
+        pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+
+
+def _flat_i64_col(ds, col: str) -> np.ndarray:
+    parts = [
+        b[col].to_numpy()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+
+
+def _verify_pairs_ds(pairs_ds, sig_ds, threshold: float):
+    """Distributed signature verification with ONE hash join: pairs are
+    exploded to (pair_id, url) rows, joined once against the packed sigs
+    (1 KiB binary blob per doc — pyarrow joins reject fixed_size_list
+    payloads), then a groupby(pair_id) computes sig_jaccard from the two
+    member rows. Deliberately NOT pairs⋈sigs⋈sigs: Ray 2.49's hash-join
+    operator fails when a join consumes another join's output
+    ("No match ... for key field reference" in the aggregator), and a
+    single join + groupby is one fewer candidate shuffle anyway."""
+    SEP = "\x1f"
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        pid = [f"{x}{SEP}{y}" for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "pid": pa.array(pid + pid, pa.string()),
+                "url_norm": pa.array(a + b, pa.string()),
+            }
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        sigs = np.asarray(t["sig"].to_pylist(), dtype=np.int64)
+        blobs = [s.tobytes() for s in sigs] if t.num_rows else []
+        return pa.table(
+            {"url_norm": t["url_norm"], "sigblob": pa.array(blobs, pa.binary())}
+        )
+
+    ex = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    packed = sig_ds.map_batches(pack, batch_format="pyarrow")
+    j = ex.join(packed, join_type="inner", num_partitions=8, on=("url_norm",))
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
+        if g.num_rows != 2:
+            return empty
+        a, b = g["pid"].to_pylist()[0].split(SEP)
+        urls = g["url_norm"].to_pylist()
+        blobs = g["sigblob"].to_pylist()
+        by = dict(zip(urls, blobs))
+        if a not in by or b not in by:
+            return empty
+        sa = np.frombuffer(by[a], dtype=np.int64)
+        sb = np.frombuffer(by[b], dtype=np.int64)
+        if float((sa == sb).mean()) < threshold:
+            return empty
+        return pa.table(
+            {"a": pa.array([a], pa.string()), "b": pa.array([b], pa.string())}
+        )
+
+    return j.groupby("pid").map_groups(verify_group, batch_format="pyarrow")
+
+
+def _drop_set_distributed(sig_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
+    """Distributed G3+G4: band-groupby pairing → join-verified edges →
+    cc_label_propagation labels → drop = nodes whose component label is
+    not themselves. Nothing corpus-sized lands on the driver; the final
+    drop list is bounded by the number of ACTUAL near-dup docs."""
+    from .cc import cc_label_propagation
+
+    pairs = _pairs_ds_distributed(sig_ds)
+    if pairs is None:
+        return set()
+    edges = _verify_pairs_ds(pairs, sig_ds, threshold).materialize()
+    if edges.count() == 0:
+        return set()
+    labels = cc_label_propagation(edges)
+    drop: set[str] = set()
+    for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        nodes = b["node"].to_pylist()
+        labs = b["label"].to_pylist()
+        drop.update(n for n, l in zip(nodes, labs) if n != l)
+    return drop
+
+
+def neardup_drop_set(docs_ds, force_path: str | None = None) -> set[str]:
+    """G3+G4 front: verified near-dup pairs → connected components →
+    url_norm drop-set (components keep their min member).
+
+    Two plans, selected by corpus size (or ``force_path`` ∈
+    {"driver", "distributed"} for tests): the driver collision scan
+    (measured faster below millions of docs — see module docstring) and
+    the fully distributed band-groupby → join-verify →
+    cc_label_propagation plan, which keeps every corpus-sized structure
+    in the cluster."""
+    import os
+
     sig_ds = minhash_sig_ds(docs_ds)
+    if force_path != "driver":
+        limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
+        if force_path == "distributed" or sig_ds.count() > limit:
+            return _drop_set_distributed(sig_ds)
     verified = verified_pairs(sig_ds)
     uf = UnionFind()
     for a, b_, _j in verified:

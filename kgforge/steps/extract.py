@@ -30,25 +30,79 @@ def _sort_key(t: pa.Table) -> pa.Array:
     return key
 
 
-def exact_dedup(ds):
+# above this row count the driver-gather path's 8 B/row hash pass stops
+# being "small" (≈8 GB at 10^9 rows) and exact_dedup flips to the
+# distributed groupby+join plan; override via KGFORGE_DEDUP_JOIN_ROWS
+EXACT_DEDUP_JOIN_ROWS = 50_000_000
+
+
+def exact_dedup_join(ds, num_partitions: int = 8):
+    """G2 scale path: keep the newest crawl per url_norm with NO driver
+    materialization — a thin (url_norm, key) projection is aggregated to
+    per-url max keys (shuffle moves keys only, never doc bodies), then a
+    hash join brings the winner keys back to the full rows.
+
+    Ties (byte-identical rows — _sort_key includes the content sha) are
+    broken by a per-row unique suffix appended to the key; the surviving
+    row's CONTENT is deterministic because tied rows are identical. The
+    keyed dataset is materialized so both the aggregate pass and the
+    join see identical row keys."""
+    import uuid
+
+    from ray.data.aggregate import Max
+
+    def add_key(t: pa.Table) -> pa.Table:
+        tag = uuid.uuid4().hex
+        rid = pa.array([f"{tag}{i:010d}" for i in range(t.num_rows)], pa.string())
+        key = pc.binary_join_element_wise(_sort_key(t), rid, "|")
+        return t.append_column("__dedup_key", key)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    winners = (
+        keyed.select_columns(["url_norm", "__dedup_key"])
+        .groupby("url_norm")
+        .aggregate(Max("__dedup_key", alias_name="__dedup_key"))
+    )
+    out = keyed.join(
+        winners,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url_norm", "__dedup_key"),
+    )
+    return out.drop_columns(["__dedup_key"])
+
+
+def exact_dedup(ds, force_path: str | None = None):
     """G2: keep the newest crawl per url_norm.
 
-    v3 design (profiled twice — see BASELINE.md optimization log): no
-    groupby at all. Pass 1 streams an 8-byte hash per row to the driver
-    and finds REPEATED url hashes with one np.sort (a groupby would pay
-    Ray's per-group cost on millions of singleton urls); pass 2 collects
-    (url_norm, sort_key) for the duplicated urls only (~2% re-crawl
-    rate), resolves winners on the driver, and broadcast-filters. At
-    10^12-scale with high dup rates replace with `Dataset.join` on
-    (url_norm, sort_key) — same semantics, documented tradeoff.
+    Two plans, selected by corpus size (or ``force_path`` ∈
+    {"gather", "join"} for tests):
+
+    * **gather** (small/medium corpora, profiled twice — see BASELINE.md
+      optimization log): no groupby at all. Pass 1 streams an 8-byte hash
+      per row to the driver and finds REPEATED url hashes with one
+      np.sort (a groupby would pay Ray's per-group cost on millions of
+      singleton urls); pass 2 collects (url_norm, sort_key) for the
+      duplicated urls only (~2% re-crawl rate), resolves winners on the
+      driver, and broadcast-filters.
+    * **join** (``exact_dedup_join``, above EXACT_DEDUP_JOIN_ROWS rows):
+      fully distributed groupby(max key) + hash join — nothing
+      corpus-sized ever lands on the driver.
 
     Call AFTER extract_docs so the wide html column never crosses a
     shuffle boundary (re-extracting the ~2% superseded crawls is cheaper
     than shuffling html).
     """
+    import os
+
     import numpy as np
 
     from ..extract_core import stable_u64
+
+    if force_path != "gather":
+        limit = int(os.environ.get("KGFORGE_DEDUP_JOIN_ROWS", EXACT_DEDUP_JOIN_ROWS))
+        if force_path == "join" or ds.count() > limit:
+            return exact_dedup_join(ds)
 
     def _key_hash(t: pa.Table) -> pa.Table:
         hs = [stable_u64(u, "urldup") - (1 << 63) for u in t["url_norm"].to_pylist()]
