@@ -56,39 +56,61 @@ def degree_hist(triples_ds, direction: str = "out"):
     )
 
 
-def _map_type(col: pa.ChunkedArray, id_type: dict[str, str]) -> pa.Array:
+def type_set_str(types) -> str:
+    """Canonical kbgen-M1 type-SET string: sorted, '|'-joined. Accepts a
+    single type name or an iterable of them."""
+    if isinstance(types, str):
+        return types
+    return "|".join(sorted(set(types)))
+
+
+def _map_type_set(col: pa.ChunkedArray, id_type: dict) -> pa.Array:
+    """entity column → canonical type-set string (broadcast map). Values
+    of ``id_type`` may be a single type or a list/tuple/set of types —
+    kbgen's M1 is a distribution over type SETS, so multi-typed entities
+    produce 'a|b' keys rather than being collapsed to one type."""
     keys = pa.array(list(id_type.keys()), pa.string())
-    vals = pa.array(list(id_type.values()), pa.string())
+    vals = pa.array([type_set_str(v) for v in id_type.values()], pa.string())
     idx = pc.index_in(col, value_set=keys)
     mapped = pc.take(vals, idx)
     return pc.if_else(pc.is_valid(idx), mapped, pa.scalar("unknown", pa.string()))
 
 
-def type_dist(triples_ds, id_type: dict[str, str]):
-    """K1: (type_set, n_entities) over entities appearing in the graph.
-    Our entities carry exactly one type, so type_set is the single type
-    name (kbgen's multi-type sets degenerate to singletons here)."""
+def type_dist(triples_ds, id_type: dict):
+    """K1: (type_set, n_entities) over entities appearing in the graph —
+    fully distributed: distinct entities via a groupby (never a driver
+    ``unique()`` — the entity vocabulary of a real KG exceeds driver
+    memory), type lookup as a broadcast map, final count by type_set."""
     subj = triples_ds.select_columns(["subj"]).map_batches(
         lambda t: pa.table({"entity": t["subj"]}), batch_format="pyarrow"
     )
     obj = triples_ds.select_columns(["obj"]).map_batches(
         lambda t: pa.table({"entity": t["obj"]}), batch_format="pyarrow"
     )
-    ents = subj.union(obj).unique("entity")
-    tbl = pa.table({"entity": pa.array(sorted(ents), pa.string())})
-    typed = pa.table({"type_set": _map_type(tbl["entity"], id_type)})
-    df = typed.to_pandas().groupby("type_set").size().reset_index(name="n_entities")
+    ents = subj.union(obj).groupby("entity").aggregate(Count(alias_name="_n"))
+    typed = ents.map_batches(
+        lambda t, m=id_type: pa.table({"type_set": _map_type_set(t["entity"], m)}),
+        batch_format="pyarrow",
+    )
+    df = (
+        typed.groupby("type_set")
+        .aggregate(Count(alias_name="n_entities"))
+        .to_pandas()
+        .sort_values("type_set")
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def domain_range(triples_ds, id_type: dict[str, str]):
-    """K3: (pred, subj_type, obj_type, n_facts) via broadcast type map."""
+def domain_range(triples_ds, id_type: dict):
+    """K3: (pred, subj_type, obj_type, n_facts) via broadcast type map
+    (type-SET strings — multi-typed entities keep their full signature)."""
     typed = triples_ds.map_batches(
         lambda t, m=id_type: pa.table(
             {
                 "pred": t["pred"],
-                "subj_type": _map_type(t["subj"], m),
-                "obj_type": _map_type(t["obj"], m),
+                "subj_type": _map_type_set(t["subj"], m),
+                "obj_type": _map_type_set(t["obj"], m),
             }
         ),
         batch_format="pyarrow",
@@ -100,17 +122,39 @@ def domain_range(triples_ds, id_type: dict[str, str]):
 
 def pred_stats(triples_ds):
     """K4/K5 scalars per predicate: n_facts, distinct subj/obj counts,
-    functionality = n_facts/n_subj, inverse functionality, reflexive count."""
-    df = triples_ds.select_columns(["subj", "pred", "obj"]).to_pandas()
-    g = df.groupby("pred")
-    out = pd.DataFrame(
-        {
-            "n_facts": g.size(),
-            "n_subj": g["subj"].nunique(),
-            "n_obj": g["obj"].nunique(),
-            "n_reflexive": g.apply(lambda x: int((x["subj"] == x["obj"]).sum())),
-        }
-    ).reset_index()
+    functionality = n_facts/n_subj, inverse functionality, reflexive count.
+
+    Fully distributed (round 2 — was a driver ``to_pandas()`` of the
+    whole graph): n_facts and n_reflexive are single groupby counts;
+    distinct-subject/object counts are two-level groupbys (E2 pattern);
+    only the |preds|-sized result frames reach the driver."""
+    nf = triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts")).to_pandas()
+
+    def distinct_count(col: str, alias: str) -> pd.DataFrame:
+        lvl1 = (
+            triples_ds.select_columns(["pred", col])
+            .groupby(["pred", col])
+            .aggregate(Count(alias_name="_n"))
+        )
+        return lvl1.groupby("pred").aggregate(Count(alias_name=alias)).to_pandas()
+
+    ns = distinct_count("subj", "n_subj")
+    no = distinct_count("obj", "n_obj")
+    refl = (
+        triples_ds.map_batches(
+            lambda t: t.select(["pred"]).filter(pc.equal(t["subj"], t["obj"])),
+            batch_format="pyarrow",
+        )
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_reflexive"))
+        .to_pandas()
+    )
+    if "pred" not in refl.columns:  # no reflexive facts → schema-less empty
+        refl = pd.DataFrame({"pred": pd.Series(dtype=str),
+                             "n_reflexive": pd.Series(dtype="int64")})
+    out = nf.merge(ns, on="pred").merge(no, on="pred").merge(refl, on="pred", how="left")
+    out["n_reflexive"] = out["n_reflexive"].fillna(0).astype("int64")
+    out = out.sort_values("pred").reset_index(drop=True)
     out["functionality"] = (out["n_facts"] / out["n_subj"]).round(4)
     out["inv_functionality"] = (out["n_facts"] / out["n_obj"]).round(4)
     return out

@@ -63,31 +63,45 @@ def synthesize(model: dict[str, pd.DataFrame], scale: float = 1.0, seed: int = 7
     for _, prow in pred_freq.sort_values("pred").iterrows():
         pred = prow["pred"]
         n_target = max(1, int(round(prow["n_facts"] * scale)))
-        rng = np.random.RandomState((seed + stable_u64(pred, "synth")) % (2**31))
         dr = domain_range[domain_range["pred"] == pred]
         if dr.empty:
-            continue
-        # dominant (subj_type, obj_type) signature per predicate
-        top = dr.sort_values("n_facts", ascending=False).iloc[0]
-        s_pool = ents_by_type.get(top["subj_type"])
-        o_pool = ents_by_type.get(top["obj_type"])
-        if s_pool is None or o_pool is None:
             continue
         h_out = degree_out[degree_out["pred"] == pred]
         h_in = degree_in[degree_in["pred"] == pred]
         if h_out.empty or h_in.empty:
             continue
-        out_seq = _sample_degrees(rng, h_out, n_target)
-        in_seq = _sample_degrees(rng, h_in, n_target)
-        subs = rng.choice(s_pool, size=len(out_seq), replace=False if len(out_seq) <= len(s_pool) else True)
-        objs = rng.choice(o_pool, size=len(in_seq), replace=False if len(in_seq) <= len(o_pool) else True)
-        s_slots = np.repeat(subs, out_seq)
-        o_slots = np.repeat(objs, in_seq)
-        n = min(len(s_slots), len(o_slots))
-        s_slots, o_slots = s_slots[:n], o_slots[rng.permutation(len(o_slots))[:n]]
-        keep = s_slots != o_slots  # non-reflexiveness (M2)
-        s_slots, o_slots = s_slots[keep], o_slots[keep]
-        df = pd.DataFrame({"subj": s_slots, "obj": o_slots}).drop_duplicates()
+        # sample the FULL domain/range distribution (round 2 — was the
+        # dominant signature only): each (subj_type, obj_type) signature
+        # receives its learned share of the predicate's fact budget
+        dr = dr.sort_values(["subj_type", "obj_type"])
+        dr_total = float(dr["n_facts"].sum())
+        sig_frames: list[pd.DataFrame] = []
+        for _, sig in dr.iterrows():
+            share = sig["n_facts"] / dr_total
+            n_sig = int(round(n_target * share))
+            if n_sig < 1:
+                continue
+            s_pool = ents_by_type.get(sig["subj_type"])
+            o_pool = ents_by_type.get(sig["obj_type"])
+            if s_pool is None or o_pool is None:
+                continue
+            rng = np.random.RandomState(
+                (seed + stable_u64(f"{pred}|{sig['subj_type']}|{sig['obj_type']}", "synth"))
+                % (2**31)
+            )
+            out_seq = _sample_degrees(rng, h_out, n_sig)
+            in_seq = _sample_degrees(rng, h_in, n_sig)
+            subs = rng.choice(s_pool, size=len(out_seq), replace=len(out_seq) > len(s_pool))
+            objs = rng.choice(o_pool, size=len(in_seq), replace=len(in_seq) > len(o_pool))
+            s_slots = np.repeat(subs, out_seq)
+            o_slots = np.repeat(objs, in_seq)
+            n = min(len(s_slots), len(o_slots))
+            s_slots, o_slots = s_slots[:n], o_slots[rng.permutation(len(o_slots))[:n]]
+            keep = s_slots != o_slots  # non-reflexiveness (M2)
+            sig_frames.append(pd.DataFrame({"subj": s_slots[keep], "obj": o_slots[keep]}))
+        if not sig_frames:
+            continue
+        df = pd.concat(sig_frames, ignore_index=True).drop_duplicates()
         tables.append(
             pa.table(
                 {

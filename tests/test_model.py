@@ -81,3 +81,22 @@ def test_synth_scales(triples):
     n1 = synthesize(model, scale=1.0, seed=7).count()
     n2 = synthesize(model, scale=2.0, seed=7).count()
     assert 1.5 * n1 < n2 < 2.5 * n1
+
+
+def test_type_dist_multi_type_sets():
+    """kbgen M1 is a distribution over type SETS (VERDICT r1): multi-typed
+    entities must emit sorted 'a|b' keys, not collapse to one type."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.learn import type_dist
+
+    t = pa.table({
+        "subj": pa.array(["e1", "e2"], pa.string()),
+        "pred": pa.array(["p", "p"], pa.string()),
+        "obj": pa.array(["e3", "e3"], pa.string()),
+    })
+    id_type = {"e1": ["person", "employee"], "e2": "person", "e3": ("org", "company")}
+    out = type_dist(rd.from_arrow(t), id_type).to_pandas()
+    got = dict(zip(out["type_set"], out["n_entities"]))
+    assert got == {"employee|person": 1, "person": 1, "company|org": 1}

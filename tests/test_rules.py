@@ -72,3 +72,48 @@ def test_replay_deterministic():
         ["subj", "pred", "obj"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_parse_amie_rules_roundtrip(tmp_path):
+    """K6/M3 parity (VERDICT r1): an externally-mined AMIE-format rule
+    file parses into the same frame shape mine_rules emits and replays
+    through the same engine."""
+    from kgforge.model.rules import parse_amie_rules
+
+    amie = (
+        "Rule\tHead Coverage\tStd Confidence\tPCA Confidence\tPositive Examples\n"
+        "?a  <works_for>  ?b   => ?a  <employed_by>  ?b\t0.8\t0.75\t0.9\t42\n"
+        "?a  <has_child>  ?b   => ?b  <has_parent>  ?a\t0.7\t0.6\t0.85\t17\n"
+        "?a  <p1>  ?b ?b <p2> ?c  => ?a  <p3>  ?c\t0.5\t0.5\t0.5\t5\n"  # multi-atom: skipped
+        "# comment line\n"
+    )
+    path = tmp_path / "rules.tsv"
+    path.write_text(amie)
+    rules = parse_amie_rules(str(path))
+    assert list(rules.columns) == ["body_pred", "head_pred", "inverse", "support", "confidence"]
+    assert len(rules) == 2
+    fwd = rules[rules.body_pred == "works_for"].iloc[0]
+    assert fwd.head_pred == "employed_by" and not fwd.inverse
+    assert fwd.confidence == 0.9 and fwd.support == 42
+    inv = rules[rules.body_pred == "has_child"].iloc[0]
+    assert inv.head_pred == "has_parent" and inv.inverse
+
+    # replay: a works_for fact derives an employed_by fact (conf 0.9 → most coins hit)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.rules import replay_rules
+
+    base = pa.table({
+        "subj": pa.array([f"e{i}" for i in range(30)], pa.string()),
+        "pred": pa.array(["works_for"] * 30, pa.string()),
+        "obj": pa.array([f"o{i}" for i in range(30)], pa.string()),
+    })
+    out = replay_rules(rd.from_arrow(base), rules).to_pandas()
+    derived = out[out["pred"] == "employed_by"]
+    assert 15 < len(derived) <= 30  # ~90% of 30, seeded-deterministic
+    # deterministic under re-execution
+    out2 = replay_rules(rd.from_arrow(base), rules).to_pandas()
+    a = out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = out2.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    assert a.equals(b)
