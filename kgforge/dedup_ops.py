@@ -14,6 +14,7 @@ from ray.data.aggregate import Count, Min
 
 from .dedup_core import (
     UnionFind,
+    bucket_pair_policy,
     simhash,
 )
 
@@ -193,28 +194,28 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         )
 
     def bucket(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         empty = pa.table(
             {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
              "hamming": pa.array([], pa.int64())}
         )
-        if n < 2:
+        fp_of: dict[str, int] = {}
+        for d, x in zip(group["doc"].to_pylist(), group["fp"].to_pylist()):
+            fp_of[d] = int(x) + (1 << 63)
+        members = sorted(fp_of)
+        if len(members) < 2:
             return empty
-        docs = group["doc"].to_pylist()
-        fps = [int(x) + (1 << 63) for x in group["fp"].to_pylist()]
         a_out, b_out, h_out = [], [], []
-        seen = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                x, y = sorted((docs[i], docs[j]))
-                if x == y or (x, y) in seen:
-                    continue
-                seen.add((x, y))
-                h = bin(fps[i] ^ fps[j]).count("1")
-                if h <= max_hamming:
-                    a_out.append(x)
-                    b_out.append(y)
-                    h_out.append(h)
+        # shared bucket_pair_policy (VERDICT r1): all pairs for normal
+        # buckets, O(n) sorted chain for oversized ones — a
+        # boilerplate-heavy 16-bit band at web scale otherwise explodes
+        # O(n²) inside one group
+        for i, j in bucket_pair_policy(members):
+            x, y = members[i], members[j]
+            h = bin(fp_of[x] ^ fp_of[y]).count("1")
+            if h <= max_hamming:
+                a_out.append(x)
+                b_out.append(y)
+                h_out.append(h)
         if not a_out:
             return empty
         return pa.table(
@@ -264,29 +265,29 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
         )
 
     def bucket(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         empty = pa.table(
             {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
              "cosine": pa.array([], pa.float64())}
         )
-        if n < 2:
-            return empty
         docs = group["doc"].to_pylist()
-        mat = np.asarray(group["vec"].to_pylist(), dtype=np.float32)
-        cos = mat @ mat.T
+        vecs = group["vec"].to_pylist()
+        vec_of: dict[str, np.ndarray] = {}
+        for d, v in zip(docs, vecs):
+            vec_of[d] = np.asarray(v, dtype=np.float32)
+        members = sorted(vec_of)
+        if len(members) < 2:
+            return empty
+        # shared bucket_pair_policy (VERDICT r1): a dense embedding
+        # region collapsing into one bucket stays O(n) pairs
+        idx_pairs = bucket_pair_policy(members)
         a_out, b_out, c_out = [], [], []
-        seen = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                x, y = sorted((docs[i], docs[j]))
-                if x == y or (x, y) in seen:
-                    continue
-                seen.add((x, y))
-                c = float(cos[i, j])
-                if c >= threshold:
-                    a_out.append(x)
-                    b_out.append(y)
-                    c_out.append(round(c, 4))
+        for i, j in idx_pairs:
+            x, y = members[i], members[j]
+            c = float(vec_of[x] @ vec_of[y])
+            if c >= threshold:
+                a_out.append(x)
+                b_out.append(y)
+                c_out.append(round(c, 4))
         if not a_out:
             return empty
         return pa.table(

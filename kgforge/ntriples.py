@@ -78,20 +78,33 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
 
 
 def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
-    """triples Dataset → directory of .txt part files (one line per triple)."""
-    lines = triples_ds.map_batches(
-        lambda t, b=base: to_nt_lines(t, b), batch_format="pyarrow"
-    )
-    # write_text would wrap in json; emit via write_csv-free custom sink:
+    """triples Dataset → directory of .nt part files, written by the
+    WORKERS (round 2 — was a driver-side iter_batches loop): each task
+    serializes its batch and writes one uniquely-named part file, so the
+    sink streams and scales with the cluster. ``out_dir`` must be on a
+    filesystem all workers see (true single-node; a shared mount or
+    object-store URI on a real cluster)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    i = 0
-    for b in lines.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        with open(os.path.join(out_dir, f"part-{i:05d}.nt"), "w", encoding="utf-8") as f:
-            f.write("\n".join(b["line"].to_pylist()))
+
+    def write_block(t: pa.Table, b=base) -> pa.Table:
+        import uuid
+
+        lines = to_nt_lines(t, b)
+        name = f"part-{uuid.uuid4().hex}.nt"
+        tmp = os.path.join(out_dir, f".tmp-{name}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines["line"].to_pylist()))
             f.write("\n")
-        i += 1
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "n_lines": pa.array([t.num_rows], pa.int64())})
+
+    # consume to drive the streaming write; the result is tiny (1 row/file)
+    triples_ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=65536
+    ).materialize()
 
 
 def read_ntriples(path: str, base: str = DEFAULT_BASE):

@@ -104,9 +104,26 @@ def exact_dedup(ds, force_path: str | None = None):
         if force_path == "join" or ds.count() > limit:
             return exact_dedup_join(ds)
 
+    def _hash_urls(col) -> np.ndarray:
+        """Vectorized 64-bit url hash (polars Rust kernel — the hash only
+        has to be stable WITHIN one run, both passes share this fn);
+        falls back to the per-row stable hash without polars."""
+        try:
+            import polars as pl
+
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return (
+                pl.from_arrow(col).hash(seed=41).to_numpy().astype(np.uint64).view(np.int64)
+            )
+        except ImportError:
+            return np.array(
+                [stable_u64(u, "urldup") - (1 << 63) for u in col.to_pylist()],
+                dtype=np.int64,
+            )
+
     def _key_hash(t: pa.Table) -> pa.Table:
-        hs = [stable_u64(u, "urldup") - (1 << 63) for u in t["url_norm"].to_pylist()]
-        return pa.table({"h": pa.array(hs, pa.int64())})
+        return pa.table({"h": pa.array(_hash_urls(t["url_norm"]), pa.int64())})
 
     # pass 1: repeated url_norm hashes (8 B/row gather + one np.sort —
     # a groupby here would pay Ray's per-group cost on millions of
@@ -129,10 +146,7 @@ def exact_dedup(ds, force_path: str | None = None):
     # pass 2: winners among the duplicated urls only (hash false-positives
     # just add a few singleton "dup" urls — their winner is themselves)
     def _dup_rows(t: pa.Table) -> pa.Table:
-        hs = np.array(
-            [stable_u64(u, "urldup") - (1 << 63) for u in t["url_norm"].to_pylist()],
-            dtype=np.int64,
-        )
+        hs = _hash_urls(t["url_norm"])
         mask = np.isin(hs, dup_sorted)
         thin = pa.table({"url_norm": t["url_norm"], "sort_key": _sort_key(t)})
         return thin.filter(pa.array(mask))

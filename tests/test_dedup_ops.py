@@ -96,3 +96,40 @@ def test_sig_jaccard_estimates_true_jaccard():
         true_j = jaccard(sa, sb)
         est = sig_jaccard(minhash_signature(sa), minhash_signature(sb))
         assert abs(est - true_j) < 0.15, (overlap, true_j, est)
+
+
+def test_simhash_hot_bucket_is_linear():
+    """VERDICT r1 #6: a boilerplate-heavy bucket (identical text → one
+    SimHash band bucket with every doc) must produce O(n) chained pairs
+    under the shared bucket_pair_policy, not O(n²)."""
+    import time
+
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["the same boilerplate body text repeated everywhere"] * n,
+                         pa.string()),
+    })
+    t0 = time.time()
+    out = simhash_pairs(rd.from_arrow(t), "doc_id", "text", max_hamming=3).to_pandas()
+    wall = time.time() - t0
+    # chain policy: pairs grow linearly with bucket size (≈n-1 per band,
+    # deduped across the 4 bands), nowhere near n*(n-1)/2 ≈ 4.5M
+    assert len(out) <= 4 * n
+    assert wall < 120, f"hot bucket took {wall:.0f}s — policy not applied?"
+
+
+def test_embedding_hot_bucket_is_linear():
+    import numpy as np
+
+    from kgforge.dedup_ops import embedding_neardup_pairs
+
+    n = 3000
+    vec = (np.ones(64) / 8.0).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n, pa.list_(pa.float32(), 64)),
+    })
+    out = embedding_neardup_pairs(rd.from_arrow(t), "vec_id", "embedding",
+                                  threshold=0.9).to_pandas()
+    assert 0 < len(out) <= 4 * n
