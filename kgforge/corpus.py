@@ -55,6 +55,10 @@ LANG_WORDS = {
            "档案", "展览", "问题", "更新", "传统", "变化", "小"],
 }
 
+# bump when the deterministic generator's output changes — cache keys
+# (bench corpus parquet) include it so stale corpora are regenerated
+CORPUS_VERSION = 2
+
 _CATEGORIES = ["news", "business", "people", "places", "archive"]
 
 
