@@ -57,7 +57,8 @@ LANG_WORDS = {
 
 # bump when the deterministic generator's output changes — cache keys
 # (bench corpus parquet) include it so stale corpora are regenerated
-CORPUS_VERSION = 2
+# v2: re-crawls collide on url_norm; v3: literal-valued facts (founded_in)
+CORPUS_VERSION = 3
 
 _CATEGORIES = ["news", "business", "people", "places", "archive"]
 

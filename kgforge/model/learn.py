@@ -73,7 +73,11 @@ def _map_type_set(col: pa.ChunkedArray, id_type: dict) -> pa.Array:
     vals = pa.array([type_set_str(v) for v in id_type.values()], pa.string())
     idx = pc.index_in(col, value_set=keys)
     mapped = pc.take(vals, idx)
-    return pc.if_else(pc.is_valid(idx), mapped, pa.scalar("unknown", pa.string()))
+    out = pc.if_else(pc.is_valid(idx), mapped, pa.scalar("unknown", pa.string()))
+    # literal-valued objects ("lit:<lexical>") form their own type bucket
+    return pc.if_else(
+        pc.starts_with(col, "lit:"), pa.scalar("literal", pa.string()), out
+    )
 
 
 def type_dist(triples_ds, id_type: dict):

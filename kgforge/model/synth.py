@@ -57,7 +57,11 @@ def synthesize(model: dict[str, pd.DataFrame], scale: float = 1.0, seed: int = 7
     for _, row in type_dist.iterrows():
         t = row["type_set"]
         n = max(1, int(round(row["n_entities"] * scale)))
-        ents_by_type[t] = np.array([f"syn_{t}_{i:07d}" for i in range(n)])
+        if t == "literal":
+            # literal pool: synthetic lexical values (years), scaled
+            ents_by_type[t] = np.array([f"lit:{1900 + (i % 199)}" for i in range(n)])
+        else:
+            ents_by_type[t] = np.array([f"syn_{t}_{i:07d}" for i in range(n)])
 
     tables: list[pa.Table] = []
     for _, prow in pred_freq.sort_values("pred").iterrows():
@@ -125,6 +129,8 @@ def synth_id_type(model: dict[str, pd.DataFrame]) -> dict[str, str]:
     out = {}
     for _, row in model["type_dist"].iterrows():
         t = row["type_set"]
+        if t == "literal":
+            continue  # lit:* ids are typed by prefix in _map_type_set
         n = max(1, int(round(row["n_entities"])))
         for i in range(n * 4):  # cover scales up to 4x for tests
             out[f"syn_{t}_{i:07d}"] = t

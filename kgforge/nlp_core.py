@@ -166,6 +166,14 @@ def link_surface(
     return best, _cos(ctx, res.proto[best])
 
 
+# lexical validators per literal range (kbgen KBs carry literal-valued
+# facts): a literal object is NOT gazetteer-linked — it is validated
+# against its datatype's lexical form and carried as "lit:<lexical>".
+_LITERAL_RES: dict[str, re.Pattern] = {
+    "literal:gYear": re.compile(r"^\d{4}$"),
+}
+
+
 def link_triple(
     subj_surface: str,
     pred: str,
@@ -174,12 +182,18 @@ def link_triple(
     res: AliasResource,
 ) -> tuple[str, str, str, float] | None:
     """Link both ends of a raw SVO triple; drop if either end is unlinkable.
-    Returns (subj_id, pred, obj_id, link_score)."""
+    Returns (subj_id, pred, obj_id, link_score). Predicates with a
+    ``literal:*`` range validate the object lexically instead of linking."""
     p = PRED_BY_NAME[pred]
     ctx = ctx_embedding(sentence)
     s_id, s_score = link_surface(subj_surface, p.domain, ctx, res)
     if s_id is None:
         return None
+    if p.range.startswith("literal:"):
+        lit_re = _LITERAL_RES.get(p.range)
+        if lit_re is None or not lit_re.match(obj_surface):
+            return None
+        return s_id, pred, f"lit:{obj_surface}", s_score
     o_id, o_score = link_surface(obj_surface, p.range, ctx, res)
     if o_id is None:
         return None

@@ -16,8 +16,10 @@ DEFAULT_BASE = "http://kgforge.example/"
 
 _NT_LINE = re.compile(
     r"^\s*<(?P<s>[^>]*)>\s+<(?P<p>[^>]*)>\s+"
-    r"(?:<(?P<o>[^>]*)>|\"(?P<lit>(?:[^\"\\]|\\.)*)\")\s*\.\s*$"
+    r"(?:<(?P<o>[^>]*)>|\"(?P<lit>(?:[^\"\\]|\\.)*)\"(?:\^\^<(?P<dt>[^>]*)>)?)\s*\.\s*$"
 )
+
+_XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
 
 
 def _escape(s: str) -> str:
@@ -31,9 +33,21 @@ def _unescape(s: str) -> str:
 
 
 def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
-    """triples(subj, pred, obj) → one N-Triples line per row."""
+    """triples(subj, pred, obj) → one N-Triples line per row. Objects with
+    the ``lit:`` marker serialize as literals — typed ``^^xsd:gYear`` for
+    4-digit values, plain string literals otherwise (kbgen KBs contain
+    literal-valued facts)."""
+
+    def obj_term(o: str) -> str:
+        if o.startswith("lit:"):
+            v = o[4:]
+            if v.isdigit() and len(v) == 4:
+                return f'"{_escape(v)}"^^<{_XSD_GYEAR}>'
+            return f'"{_escape(v)}"'
+        return f"<{base}entity/{o}>"
+
     lines = [
-        f"<{base}entity/{s}> <{base}pred/{p}> <{base}entity/{o}> ."
+        f"<{base}entity/{s}> <{base}pred/{p}> {obj_term(o)} ."
         for s, p, o in zip(
             batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
         )
@@ -63,7 +77,9 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
         o = (
             strip(m.group("o"), "entity")
             if m.group("o") is not None
-            else _unescape(m.group("lit"))
+            # literal objects carry the engine's "lit:" marker in the
+            # triples schema (datatype is recoverable from the lexical form)
+            else "lit:" + _unescape(m.group("lit"))
         )
         subs.append(s)
         preds.append(p)

@@ -64,6 +64,12 @@ TYPE_PERSON = "person"
 TYPE_ORG = "organization"
 TYPE_CITY = "city"
 TYPE_COUNTRY = "country"
+# literal range marker (kbgen KBs contain literal-valued facts): predicates
+# whose range starts with "literal:" take a lexical value, not an entity.
+# Literal objects are carried as "lit:<lexical>" ids through the whole
+# pipeline (linking, canonicalization no-op, model, N-Triples typed output).
+TYPE_YEAR = "literal:gYear"
+LITERAL_PREFIX = "lit:"
 
 
 @dataclass(frozen=True)
@@ -99,6 +105,8 @@ PREDICATES: tuple[Predicate, ...] = (
               ("{s} is a city in {o}.",)),
     Predicate("capital_of", TYPE_CITY, TYPE_COUNTRY,
               ("{s} is the capital of {o}.",)),
+    Predicate("founded_in", TYPE_ORG, TYPE_YEAR,
+              ("{s} was founded in the year {o}.",)),
 )
 
 PRED_BY_NAME = {p.name: p for p in PREDICATES}
@@ -277,6 +285,14 @@ def build_ontology(seed: int = 42) -> Ontology:
         n_facts = rng.randint(1, 4)
         for _ in range(n_facts):
             p = rng.choice(preds)
+            if p.range.startswith("literal:"):
+                # deterministic per-entity literal value (founding year)
+                year = 1900 + stable_u64(e.eid, "founded_year") % 120
+                f = (e.eid, p.name, f"{LITERAL_PREFIX}{year}")
+                if f not in seen:
+                    seen.add(f)
+                    facts.append(f)
+                continue
             objs = by_type.get(p.range, [])
             if not objs:
                 continue
@@ -327,7 +343,6 @@ def render_fact(onto: Ontology, fact: tuple[str, str, str], rng: random.Random) 
     p = PRED_BY_NAME[pred]
     # surface may come from the base entity or any same_as twin
     s_ent = onto.by_id[rng.choice(onto.members_of[s_id])]
-    o_ent = onto.by_id[rng.choice(onto.members_of[o_id])]
     tmpl = rng.choice(p.templates)
 
     def pick_surface(e: Entity) -> str:
@@ -337,4 +352,9 @@ def render_fact(onto: Ontology, fact: tuple[str, str, str], rng: random.Random) 
             return rng.choice(e.aliases[1:])
         return e.aliases[0]
 
-    return tmpl.format(s=pick_surface(s_ent), o=pick_surface(o_ent))
+    if o_id.startswith(LITERAL_PREFIX):
+        o_surface = o_id[len(LITERAL_PREFIX):]
+    else:
+        o_ent = onto.by_id[rng.choice(onto.members_of[o_id])]
+        o_surface = pick_surface(o_ent)
+    return tmpl.format(s=pick_surface(s_ent), o=o_surface)

@@ -41,9 +41,26 @@ def test_literal_and_malformed_lines():
         }
     )
     out = parse_nt_batch(lines).to_pylist()
-    assert out[0] == {"subj": "e1", "pred": "name", "obj": 'Alice "A" Smith'}
+    # literal objects carry the engine's lit: marker in the triples schema
+    assert out[0] == {"subj": "e1", "pred": "name", "obj": 'lit:Alice "A" Smith'}
     assert out[1]["subj"] == "http://other.example/x"  # foreign URIs kept verbatim
     assert len(out) == 2  # comment/blank/garbage dropped
+
+
+def test_typed_literal_roundtrip():
+    t = pa.table(
+        {
+            "subj": ["e0001", "e0002"],
+            "pred": ["founded_in", "motto"],
+            "obj": ["lit:1987", "lit:just words"],
+        }
+    )
+    lines = to_nt_lines(t)
+    txt = lines["line"].to_pylist()
+    assert '"1987"^^<http://www.w3.org/2001/XMLSchema#gYear>' in txt[0]
+    assert txt[1].endswith('"just words" .')
+    back = parse_nt_batch(lines)
+    assert back.to_pylist() == t.to_pylist()
 
 
 def test_file_roundtrip(tmp_path):
