@@ -78,9 +78,31 @@ def build_pattern_bank() -> list[SvoPattern]:
     return [e[3] for e in entries]
 
 
-def extract_svo(sentence: str, bank: list[SvoPattern]) -> tuple[str, str, str, float] | None:
+def build_screen_regex() -> re.Pattern:
+    """One combined 'could any pattern match?' screen: the longest constant
+    segment of every template, alternated. A sentence that matches some
+    anchored pattern necessarily CONTAINS that pattern's constant segments,
+    so failing the screen proves no pattern matches — a sound fast-path
+    that skips the full bank for distractor sentences (the majority)."""
+    segs: set[str] = set()
+    for p in PREDICATES:
+        for tmpl in p.templates:
+            parts = [s for s in re.split(r"\{[so]\}", tmpl) if s]
+            segs.add(max(parts, key=len))
+    return re.compile("|".join(re.escape(s) for s in sorted(segs, key=len, reverse=True)))
+
+
+def extract_svo(
+    sentence: str,
+    bank: list[SvoPattern],
+    screen: re.Pattern | None = None,
+) -> tuple[str, str, str, float] | None:
     """First-matching-pattern SVO extraction: sentence →
-    (subj_surface, pred, obj_surface, conf) or None."""
+    (subj_surface, pred, obj_surface, conf) or None. ``screen`` (from
+    :func:`build_screen_regex`) is a pure fast-path — results are
+    identical with or without it."""
+    if screen is not None and screen.search(sentence) is None:
+        return None
     for pat in bank:
         m = pat.regex.match(sentence)
         if m:

@@ -21,6 +21,7 @@ from ..extract_core import split_sentences
 from ..nlp_core import (
     AliasResource,
     build_pattern_bank,
+    build_screen_regex,
     ctx_embedding,
     detect_mentions,
     extract_svo,
@@ -37,6 +38,7 @@ class SvoLinker:
             ray.get(resource_ref) if resource_ref is not None else AliasResource.default(seed)
         )
         self.bank = build_pattern_bank()
+        self.screen = build_screen_regex()  # sound fast-path (nlp_core)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url_norm"].to_pylist()
@@ -56,7 +58,7 @@ class SvoLinker:
             # dedup here can guarantee once blocks re-chunk downstream.
             seen_spo: set[tuple[str, str, str]] = set()
             for si, sent in enumerate(split_sentences(text)):
-                svo = extract_svo(sent, self.bank)
+                svo = extract_svo(sent, self.bank, self.screen)
                 if svo is None:
                     continue
                 linked = link_triple(svo[0], svo[1], svo[2], sent, self.res)
