@@ -20,6 +20,11 @@ def main(argv=None) -> None:
     lp = sub.add_parser("learn")
     lp.add_argument("--triples", required=True)
     lp.add_argument("--out", required=True)
+    lp.add_argument("--tier", default="m3", choices=["m1", "m2", "m3"],
+                    help="KB model tier (J3 plugin protocol; default m3)")
+    lp.add_argument("--rules-file", default=None,
+                    help="externally-mined AMIE rule file (m3 only; "
+                         "default: mine natively)")
     sp = sub.add_parser("synth")
     sp.add_argument("--model", required=True)
     sp.add_argument("--scale", type=float, default=1.0)
@@ -42,16 +47,19 @@ def main(argv=None) -> None:
 
     if args.cmd == "learn":
         from ..nlp_core import AliasResource
-        from .learn import learn_model, write_model
-        from .rules import mine_rules
+        from .learn import write_model
+        from .protocol import M3Learner, get_learner
 
         triples = rd.read_parquet(args.triples)
-        model = learn_model(triples, AliasResource.default().id_type)
-        # M3: horn rules are part of the learned model (mined from the
-        # SOURCE graph; replayed at synthesis)
-        model["rules"] = mine_rules(triples, min_support=3, min_confidence=0.3)
+        if args.tier == "m3" and args.rules_file:
+            learner = M3Learner(rules_source=args.rules_file)
+        else:
+            learner = get_learner(args.tier)
+        model = learner.learn(triples, AliasResource.default().id_type)
         write_model(model, args.out)
-        print(f"[learn] wrote {len(model)} tables (incl. {len(model['rules'])} rules) -> {args.out}")
+        n_rules = len(model["rules"]) if "rules" in model else 0
+        print(f"[learn] tier={args.tier}: wrote {len(model)} tables "
+              f"({n_rules} rules) -> {args.out}")
     else:
         from .learn import read_model
         from .synth import synthesize

@@ -194,9 +194,15 @@ def write_model(model: dict[str, pd.DataFrame], out_dir: str) -> None:
 
 
 def read_model(model_dir: str) -> dict[str, pd.DataFrame]:
+    """Read every histogram table present (model tiers write different
+    subsets — J3 protocol)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
     out = {}
-    for name in ["pred_freq", "degree_out", "degree_in", "type_dist", "domain_range", "pred_stats"]:
-        out[name] = pq.read_table(f"{model_dir}/{name}.parquet").to_pandas()
+    for path in sorted(glob.glob(os.path.join(model_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        out[name] = pq.read_table(path).to_pandas()
     return out

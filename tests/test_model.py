@@ -100,3 +100,56 @@ def test_type_dist_multi_type_sets():
     out = type_dist(rd.from_arrow(t), id_type).to_pandas()
     got = dict(zip(out["type_set"], out["n_entities"]))
     assert got == {"employee|person": 1, "person": 1, "company|org": 1}
+
+
+def test_model_learner_protocol_tiers():
+    """J3: the kbgen model tiers (M1/M2/M3) behind one pluggable
+    ModelLearner protocol + registry."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.protocol import (
+        M3Learner,
+        ModelLearner,
+        get_learner,
+        register_learner,
+        registered_learners,
+    )
+
+    assert registered_learners() == ["m1", "m2", "m3"]
+    t = pa.table({
+        "subj": pa.array([f"a{i%7}" for i in range(40)], pa.string()),
+        "pred": pa.array(["p" if i % 2 else "q" for i in range(40)], pa.string()),
+        "obj": pa.array([f"b{i%5}" for i in range(40)], pa.string()),
+    })
+    triples = rd.from_arrow(t)
+    # distinct rows only (graph semantics)
+    import pandas as pd
+    triples = rd.from_arrow(pa.Table.from_pandas(
+        t.to_pandas().drop_duplicates(), preserve_index=False))
+    id_type = {f"a{i}": "ta" for i in range(7)} | {f"b{i}": "tb" for i in range(5)}
+
+    for tier in ("m1", "m2", "m3"):
+        learner = get_learner(tier)
+        assert isinstance(learner, ModelLearner)
+        model = learner.learn(triples, id_type)
+        syn = learner.synthesize(model, scale=1.0, seed=7)
+        assert syn.count() > 0, tier
+    assert "rules" in get_learner("m3").learn(triples, id_type)
+
+    # external AMIE rules slot into the same tier
+    amie = "?a  <p>  ?b   => ?a  <q>  ?b\t0.9\t0.9\t0.95\t12\n"
+    m3x = M3Learner(rules_source=amie)
+    model = m3x.learn(triples, id_type)
+    assert list(model["rules"]["body_pred"]) == ["p"]
+
+    # custom learners can be registered (and shadow built-ins)
+    class Custom:
+        name = "custom"
+        def learn(self, triples_ds, id_type):
+            return get_learner("m2").learn(triples_ds, id_type)
+        def synthesize(self, model, scale=1.0, seed=7):
+            return get_learner("m2").synthesize(model, scale, seed)
+
+    register_learner(Custom())
+    assert "custom" in registered_learners()
