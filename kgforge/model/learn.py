@@ -37,12 +37,32 @@ def pred_freq(triples_ds):
     return out.select_columns(["pred", "n_facts"])
 
 
-def degree_hist(triples_ds, direction: str = "out"):
+def degree_hist(triples_ds, direction: str = "out", bucket: str = "exact"):
     """K4: (pred, direction, degree, n_entities). degree of an entity under
-    pred = #distinct counterpart entities (triples are already distinct)."""
+    pred = #distinct counterpart entities (triples are already distinct).
+
+    ``bucket``: "exact" keeps per-degree counts (engine default);
+    "log2" buckets degrees to powers of two (degree column = bucket
+    floor) — SURVEY §7.8 reconciliation slot in case the reference's
+    histograms turn out to be bucketed; flip here, not at call sites."""
     key = "subj" if direction == "out" else "obj"
     lvl1 = triples_ds.groupby(["pred", key]).aggregate(Count(alias_name="degree"))
-    out = lvl1.groupby(["pred", "degree"]).aggregate(Count(alias_name="n_entities"))
+
+    def finish(t: pa.Table, d=direction) -> pa.Table:
+        deg = pc.cast(t["degree"], pa.int64())
+        if bucket == "log2":
+            import numpy as np
+
+            arr = deg.to_numpy(zero_copy_only=False)
+            deg = pa.array(
+                np.power(2, np.floor(np.log2(np.maximum(arr, 1)))).astype("int64")
+            )
+            t = t.set_column(t.schema.get_field_index("degree"), "degree", deg)
+            return t
+        return t.set_column(t.schema.get_field_index("degree"), "degree", deg)
+
+    bucketed = lvl1.map_batches(finish, batch_format="pyarrow")
+    out = bucketed.groupby(["pred", "degree"]).aggregate(Count(alias_name="n_entities"))
     return out.map_batches(
         lambda t, d=direction: pa.table(
             {

@@ -153,3 +153,25 @@ def test_model_learner_protocol_tiers():
 
     register_learner(Custom())
     assert "custom" in registered_learners()
+
+
+def test_degree_hist_log2_bucketing():
+    """SURVEY §7.8: bucketed degree histograms ready for reference
+    reconciliation — log2 buckets partition the same entity mass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.learn import degree_hist
+
+    t = pa.table({
+        "subj": pa.array(sum([[f"s{i}"] * (i + 1) for i in range(9)], []), pa.string()),
+        "pred": pa.array(["p"] * 45, pa.string()),
+        "obj": pa.array([f"o{j}" for j in range(45)], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    exact = degree_hist(ds, "out").to_pandas()
+    log2 = degree_hist(ds, "out", bucket="log2").to_pandas()
+    assert exact["n_entities"].sum() == log2["n_entities"].sum() == 9
+    assert set(log2["degree"]) <= {1, 2, 4, 8}
+    # s8 has degree 9 → bucket 8
+    assert 8 in set(log2["degree"])
