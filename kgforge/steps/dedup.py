@@ -1,9 +1,14 @@
 """Near-duplicate removal: minhash-LSH + union-find (SURVEY §2.G3-G4).
 
-Scale shape (v3 — profiled twice): one stateless map_batches computes
-per-doc MinHash signatures AND the 16 int64 band hashes into a slim
-materialized side dataset (``url_norm, sig[128], band_h[16]``). No
-exploded band dataset exists at all:
+Scale shape (v4 — profiled three times): one stateless map_batches
+computes per-doc MinHash signatures and stores ONLY the 16 int64 band
+hashes in a slim materialized side dataset (``url_norm, band_h[16]``,
+~150 B/doc — the 1 KB sig column is never materialized corpus-wide; at
+10^12 docs it would be ~1 PB of object store). Signatures are
+deterministic, so they are recomputed from text exactly where needed:
+for the CANDIDATE docs at verification (driver path) or in a lazy map
+feeding the verify join (distributed path). No exploded band dataset
+exists at all:
 
   1. the driver gathers ONLY the flattened band_h column (8 B × 16 per
      doc, vectorized arrow→numpy) and finds repeated hashes with one
@@ -49,23 +54,22 @@ def _flat_i64(col) -> np.ndarray:
     return np.asarray(col.flatten(), dtype=np.int64)
 
 
-def _sig_rows(batch: pa.Table) -> pa.Table:
-    """docs → one (url_norm, sig[128], band_h[16]) row per doc."""
+def _sig_rows(batch: pa.Table, include_sig: bool = True) -> pa.Table:
+    """docs → one (url_norm[, sig[128]], band_h[16]) row per doc."""
     urls = batch["url_norm"].to_pylist()
     texts = batch["extracted_text"].to_pylist()
     sigs: list[np.ndarray] = []
     bhs: list[list[int]] = []
     for t in texts:
         sig = minhash_signature(shingles(t))
-        sigs.append(sig.astype(np.int64))
+        if include_sig:
+            sigs.append(sig.astype(np.int64))
         bhs.append([bh for _, bh in lsh_bands(sig)])
-    return pa.table(
-        {
-            "url_norm": pa.array(urls, pa.string()),
-            "sig": pa.array(sigs, pa.list_(pa.int64(), NUM_PERM)),
-            "band_h": pa.array(bhs, pa.list_(pa.int64(), LSH_BANDS)),
-        }
-    )
+    cols = {"url_norm": pa.array(urls, pa.string())}
+    if include_sig:
+        cols["sig"] = pa.array(sigs, pa.list_(pa.int64(), NUM_PERM))
+    cols["band_h"] = pa.array(bhs, pa.list_(pa.int64(), LSH_BANDS))
+    return pa.table(cols)
 
 
 def _rows_touching(sig_ds, dup_h: np.ndarray, columns: list[str]):
@@ -83,13 +87,20 @@ def _rows_touching(sig_ds, dup_h: np.ndarray, columns: list[str]):
     return sig_ds.map_batches(f, batch_format="pyarrow")
 
 
-def minhash_sig_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text"):
-    """Generic minhash side dataset: (url_norm=id, sig[128], band_h[16])
-    per row, materialized (slim; consumed by several passes)."""
+def minhash_sig_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text",
+                   include_sig: bool = True):
+    """Generic minhash side dataset: (url_norm=id[, sig[128]], band_h[16])
+    per row, materialized (slim; consumed by several passes).
+
+    ``include_sig=False`` yields the bands-only table (~150 B/doc instead
+    of ~1.2 KB/doc) — the flagship pairing scans use that and recompute
+    signatures from text for CANDIDATE docs only at verification time,
+    so the 1 KB/doc signature column is never materialized corpus-wide."""
 
     def rows(batch: pa.Table) -> pa.Table:
         return _sig_rows(
-            pa.table({"url_norm": batch[id_col], "extracted_text": batch[text_col]})
+            pa.table({"url_norm": batch[id_col], "extracted_text": batch[text_col]}),
+            include_sig=include_sig,
         )
 
     return (
@@ -97,6 +108,35 @@ def minhash_sig_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text
         .map_batches(rows, batch_format="pyarrow")
         .materialize()
     )
+
+
+def minhash_band_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text"):
+    """Slim (url_norm, band_h[16]) side dataset (see minhash_sig_ds)."""
+    return minhash_sig_ds(ds, id_col, text_col, include_sig=False)
+
+
+def recompute_sigs(docs_ds, cand_ids: list[str], id_col: str = "url_norm",
+                   text_col: str = "extracted_text") -> dict[str, np.ndarray]:
+    """Signatures for the candidate ids only, recomputed from text in a
+    distributed broadcast-filter pass (deterministic: same seeds → same
+    signature as the pairing pass). Replaces a full scan of a
+    corpus-wide materialized sig column with a candidates-sized fetch."""
+    id_arr = pa.array(cand_ids, pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string())
+        m = pc.is_in(ids, value_set=id_arr)
+        t2 = pa.table({"url_norm": ids, "extracted_text": t[text_col]}).filter(m)
+        return _sig_rows(t2, include_sig=True).select(["url_norm", "sig"])
+
+    sig_of: dict[str, np.ndarray] = {}
+    cand = docs_ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+    for b in cand.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
+            sig_of[u] = np.asarray(s, dtype=np.int64)
+    return sig_of
 
 
 def candidate_pairs(sig_ds) -> set[tuple[str, str]]:
@@ -271,7 +311,7 @@ def _flat_i64_col(ds, col: str) -> np.ndarray:
     return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
 
 
-def _verify_pairs_ds(pairs_ds, sig_ds, threshold: float):
+def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
     """Distributed signature verification with ONE hash join: pairs are
     exploded to (pair_id, url) rows, joined once against the packed sigs
     (1 KiB binary blob per doc — pyarrow joins reject fixed_size_list
@@ -279,7 +319,12 @@ def _verify_pairs_ds(pairs_ds, sig_ds, threshold: float):
     member rows. Deliberately NOT pairs⋈sigs⋈sigs: Ray 2.49's hash-join
     operator fails when a join consumes another join's output
     ("No match ... for key field reference" in the aggregator), and a
-    single join + groupby is one fewer candidate shuffle anyway."""
+    single join + groupby is one fewer candidate shuffle anyway.
+
+    The sig blobs are recomputed from text in a LAZY map over docs feeding
+    the join — never materialized: at 10^12 docs a stored 1 KB/doc sig
+    column is ~1 PB of object store; one extra signature pass is the
+    cheaper side of that trade (deterministic, so results are identical)."""
     SEP = "\x1f"
 
     def explode(t: pa.Table) -> pa.Table:
@@ -294,14 +339,22 @@ def _verify_pairs_ds(pairs_ds, sig_ds, threshold: float):
         )
 
     def pack(t: pa.Table) -> pa.Table:
-        sigs = np.asarray(t["sig"].to_pylist(), dtype=np.int64)
-        blobs = [s.tobytes() for s in sigs] if t.num_rows else []
+        urls = pc.cast(t["url_norm"], pa.string()).to_pylist()
+        blobs = [
+            minhash_signature(shingles(x)).astype(np.int64).tobytes()
+            for x in t["extracted_text"].to_pylist()
+        ]
         return pa.table(
-            {"url_norm": t["url_norm"], "sigblob": pa.array(blobs, pa.binary())}
+            {
+                "url_norm": pa.array(urls, pa.string()),
+                "sigblob": pa.array(blobs, pa.binary()),
+            }
         )
 
     ex = pairs_ds.map_batches(explode, batch_format="pyarrow")
-    packed = sig_ds.map_batches(pack, batch_format="pyarrow")
+    packed = docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
+        pack, batch_format="pyarrow"
+    )
     j = ex.join(packed, join_type="inner", num_partitions=8, on=("url_norm",))
 
     def verify_group(g: pa.Table) -> pa.Table:
@@ -327,17 +380,17 @@ def _verify_pairs_ds(pairs_ds, sig_ds, threshold: float):
     return j.groupby("pid").map_groups(verify_group, batch_format="pyarrow")
 
 
-def _drop_set_distributed(sig_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
+def _drop_set_distributed(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
     """Distributed G3+G4: band-groupby pairing → join-verified edges →
     cc_label_propagation labels → drop = nodes whose component label is
     not themselves. Nothing corpus-sized lands on the driver; the final
     drop list is bounded by the number of ACTUAL near-dup docs."""
     from .cc import cc_label_propagation
 
-    pairs = _pairs_ds_distributed(sig_ds)
+    pairs = _pairs_ds_distributed(band_ds)
     if pairs is None:
         return set()
-    edges = _verify_pairs_ds(pairs, sig_ds, threshold).materialize()
+    edges = _verify_pairs_ds(pairs, docs_ds, threshold).materialize()
     if edges.count() == 0:
         return set()
     labels = cc_label_propagation(edges)
@@ -361,12 +414,20 @@ def neardup_drop_set(docs_ds, force_path: str | None = None) -> set[str]:
     in the cluster."""
     import os
 
-    sig_ds = minhash_sig_ds(docs_ds)
+    band_ds = minhash_band_ds(docs_ds)
     if force_path != "driver":
         limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
-        if force_path == "distributed" or sig_ds.count() > limit:
-            return _drop_set_distributed(sig_ds)
-    verified = verified_pairs(sig_ds)
+        if force_path == "distributed" or band_ds.count() > limit:
+            return _drop_set_distributed(band_ds, docs_ds)
+    pairs = candidate_pairs(band_ds)
+    verified: list[tuple[str, str, float]] = []
+    if pairs:
+        sig_of = recompute_sigs(docs_ds, sorted({u for p in pairs for u in p}))
+        for a, b_ in sorted(pairs):
+            if a in sig_of and b_ in sig_of:
+                j = sig_jaccard(sig_of[a], sig_of[b_])
+                if j >= NEARDUP_JACCARD:
+                    verified.append((a, b_, float(j)))
     uf = UnionFind()
     for a, b_, _j in verified:
         uf.union(a, b_)
