@@ -38,16 +38,15 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str, threshold: float = 0
     Delegates to the flagship's scale-sane collision engine
     (kgforge.steps.dedup): repeated-band-hash scan, candidate-only
     signature verification — no per-bucket groupby."""
-    from .steps.dedup import minhash_sig_ds, verified_pairs
+    from .steps.dedup import verified_pairs_from_docs
 
     str_ds = ds.map_batches(
         lambda t: pa.table(
             {id_col: pa.compute.cast(t[id_col], pa.string()), text_col: t[text_col]}
         ),
         batch_format="pyarrow",
-    )
-    sig = minhash_sig_ds(str_ds, id_col, text_col)
-    rows = verified_pairs(sig, threshold)
+    ).materialize()  # read twice: collision scan + candidate sig recompute
+    rows = verified_pairs_from_docs(str_ds, id_col, text_col, threshold)
     return pa.table(
         {
             "a": pa.array([a for a, _, _ in rows], pa.string()),
@@ -66,7 +65,7 @@ def jaccard_pairs_profile(ds, id_col: str, text_col: str, threshold: float = 0.7
     import pyarrow.compute as pc
 
     from .dedup_core import jaccard, shingles as mk_shingles
-    from .steps.dedup import minhash_sig_ds, verified_pairs
+    from .steps.dedup import verified_pairs_from_docs
 
     str_ds = ds.map_batches(
         lambda t: pa.table(
@@ -74,8 +73,7 @@ def jaccard_pairs_profile(ds, id_col: str, text_col: str, threshold: float = 0.7
         ),
         batch_format="pyarrow",
     ).materialize()
-    sig = minhash_sig_ds(str_ds, id_col, text_col)
-    rows = verified_pairs(sig, threshold)
+    rows = verified_pairs_from_docs(str_ds, id_col, text_col, threshold)
     empty = pa.table(
         {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
          "est_jaccard": pa.array([], pa.float64()),
@@ -124,7 +122,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, threshold: float = 0.5, 
     import pyarrow.compute as pc
 
     from .dedup_core import jaccard, shingles as mk_shingles
-    from .steps.dedup import candidate_pairs, minhash_sig_ds
+    from .steps.dedup import candidate_pairs, minhash_band_ds
 
     str_ds = ds.map_batches(
         lambda t: pa.table(
@@ -132,8 +130,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, threshold: float = 0.5, 
         ),
         batch_format="pyarrow",
     ).materialize()
-    sig = minhash_sig_ds(str_ds, id_col, text_col)
-    pairs = candidate_pairs(sig)
+    pairs = candidate_pairs(minhash_band_ds(str_ds, id_col, text_col))
     empty = pa.table(
         {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
          "jaccard": pa.array([], pa.float64())}

@@ -51,6 +51,8 @@ def main(argv=None) -> None:
         from .protocol import M3Learner, get_learner
 
         triples = rd.read_parquet(args.triples)
+        if args.rules_file and args.tier != "m3":
+            ap.error(f"--rules-file requires --tier m3 (got --tier {args.tier})")
         if args.tier == "m3" and args.rules_file:
             learner = M3Learner(rules_source=args.rules_file)
         else:
@@ -71,7 +73,13 @@ def main(argv=None) -> None:
 
             from .rules import replay_rules
 
-            rules = pq.read_table(os.path.join(args.model, "rules.parquet")).to_pandas()
+            rules_path = os.path.join(args.model, "rules.parquet")
+            if not os.path.exists(rules_path):
+                ap.error(
+                    f"--rules: model at {args.model} has no rules.parquet "
+                    "(only m3-tier `learn` writes rules; re-learn with --tier m3)"
+                )
+            rules = pq.read_table(rules_path).to_pandas()
             syn = replay_rules(syn, rules, seed=args.seed)
             print(f"[synth] replayed {len(rules)} learned rules")
         syn.write_parquet(args.out)

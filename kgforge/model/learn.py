@@ -48,7 +48,7 @@ def degree_hist(triples_ds, direction: str = "out", bucket: str = "exact"):
     key = "subj" if direction == "out" else "obj"
     lvl1 = triples_ds.groupby(["pred", key]).aggregate(Count(alias_name="degree"))
 
-    def finish(t: pa.Table, d=direction) -> pa.Table:
+    def finish(t: pa.Table) -> pa.Table:
         deg = pc.cast(t["degree"], pa.int64())
         if bucket == "log2":
             import numpy as np
@@ -57,8 +57,6 @@ def degree_hist(triples_ds, direction: str = "out", bucket: str = "exact"):
             deg = pa.array(
                 np.power(2, np.floor(np.log2(np.maximum(arr, 1)))).astype("int64")
             )
-            t = t.set_column(t.schema.get_field_index("degree"), "degree", deg)
-            return t
         return t.set_column(t.schema.get_field_index("degree"), "degree", deg)
 
     bucketed = lvl1.map_batches(finish, batch_format="pyarrow")
@@ -152,7 +150,18 @@ def pred_stats(triples_ds):
     whole graph): n_facts and n_reflexive are single groupby counts;
     distinct-subject/object counts are two-level groupbys (E2 pattern);
     only the |preds|-sized result frames reach the driver."""
-    nf = triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts")).to_pandas()
+    def _ensure(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+        """Ray groupbys of EMPTY datasets come back schema-less — pin the
+        expected columns so the merges below never KeyError on an empty
+        graph (all-filtered corpus is a legal input)."""
+        if all(c in df.columns for c in cols):
+            return df
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+
+    nf = _ensure(
+        triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts")).to_pandas(),
+        {"pred": "str", "n_facts": "int64"},
+    )
 
     def distinct_count(col: str, alias: str) -> pd.DataFrame:
         lvl1 = (
@@ -160,22 +169,23 @@ def pred_stats(triples_ds):
             .groupby(["pred", col])
             .aggregate(Count(alias_name="_n"))
         )
-        return lvl1.groupby("pred").aggregate(Count(alias_name=alias)).to_pandas()
+        return _ensure(
+            lvl1.groupby("pred").aggregate(Count(alias_name=alias)).to_pandas(),
+            {"pred": "str", alias: "int64"},
+        )
 
     ns = distinct_count("subj", "n_subj")
     no = distinct_count("obj", "n_obj")
-    refl = (
+    refl = _ensure(
         triples_ds.map_batches(
             lambda t: t.select(["pred"]).filter(pc.equal(t["subj"], t["obj"])),
             batch_format="pyarrow",
         )
         .groupby("pred")
         .aggregate(Count(alias_name="n_reflexive"))
-        .to_pandas()
+        .to_pandas(),
+        {"pred": "str", "n_reflexive": "int64"},
     )
-    if "pred" not in refl.columns:  # no reflexive facts → schema-less empty
-        refl = pd.DataFrame({"pred": pd.Series(dtype=str),
-                             "n_reflexive": pd.Series(dtype="int64")})
     out = nf.merge(ns, on="pred").merge(no, on="pred").merge(refl, on="pred", how="left")
     out["n_reflexive"] = out["n_reflexive"].fillna(0).astype("int64")
     out = out.sort_values("pred").reset_index(drop=True)

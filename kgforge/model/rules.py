@@ -155,9 +155,15 @@ def parse_amie_rules(source: str, min_confidence: float = 0.0) -> pd.DataFrame:
     import re
 
     text = source
-    if "\n" not in source and os.path.exists(source):
-        with open(source) as f:
-            text = f.read()
+    if "\n" not in source:
+        # single-line input is a PATH, not rule text: a mistyped
+        # --rules-file must fail loudly, not yield a silently rule-less
+        # M3 model (inline rule text always contains a newline or '=>')
+        if os.path.exists(source):
+            with open(source) as f:
+                text = f.read()
+        elif "=>" not in source:
+            raise FileNotFoundError(f"AMIE rule file not found: {source!r}")
 
     atom_re = re.compile(r"\?(\w+)\s+<?([^\s<>]+)>?\s+\?(\w+)")
     rows = []

@@ -20,6 +20,10 @@ _NT_LINE = re.compile(
 )
 
 _XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
+# datatype-carriage sentinel inside a "lit:<lex>^^<dt>" token for literals
+# that were PLAIN in the source but whose lexical form would otherwise be
+# re-typed by the engine's year inference (keeps write∘parse faithful)
+_PLAIN_DT = "plain"
 
 
 def _escape(s: str) -> str:
@@ -41,6 +45,13 @@ def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
     def obj_term(o: str) -> str:
         if o.startswith("lit:"):
             v = o[4:]
+            if "^^" in v:
+                # externally-parsed literal with explicit datatype carriage
+                # (see parse_nt_batch) — re-emit exactly what was read
+                lex, dt = v.split("^^", 1)
+                if dt in ("", _PLAIN_DT):
+                    return f'"{_escape(lex)}"'
+                return f'"{_escape(lex)}"^^<{dt}>'
             if v.isdigit() and len(v) == 4:
                 return f'"{_escape(v)}"^^<{_XSD_GYEAR}>'
             return f'"{_escape(v)}"'
@@ -74,13 +85,25 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
             continue
         s = strip(m.group("s"), "entity")
         p = strip(m.group("p"), "pred")
-        o = (
-            strip(m.group("o"), "entity")
-            if m.group("o") is not None
+        if m.group("o") is not None:
+            o = strip(m.group("o"), "entity")
+        else:
             # literal objects carry the engine's "lit:" marker in the
-            # triples schema (datatype is recoverable from the lexical form)
-            else "lit:" + _unescape(m.group("lit"))
-        )
+            # triples schema. Engine-native year literals (gYear, 4-digit
+            # lexical) normalize to the bare "lit:<lex>" form the rest of
+            # the engine produces; any OTHER explicit datatype — and plain
+            # literals the year inference would mis-type on re-write — keep
+            # the datatype inline ("lit:<lex>^^<dt>") so write∘parse is
+            # faithful (no silently re-guessed datatypes)
+            lex = _unescape(m.group("lit"))
+            dt = m.group("dt")
+            is_year = lex.isdigit() and len(lex) == 4
+            if dt is None:
+                o = f"lit:{lex}^^{_PLAIN_DT}" if is_year else f"lit:{lex}"
+            elif dt == _XSD_GYEAR and is_year:
+                o = f"lit:{lex}"
+            else:
+                o = f"lit:{lex}^^{dt}"
         subs.append(s)
         preds.append(p)
         objs.append(o)
@@ -105,14 +128,23 @@ def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table, b=base) -> pa.Table:
-        import uuid
+        import hashlib
 
         lines = to_nt_lines(t, b)
-        name = f"part-{uuid.uuid4().hex}.nt"
-        tmp = os.path.join(out_dir, f".tmp-{name}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines["line"].to_pylist()))
-            f.write("\n")
+        payload = ("\n".join(lines["line"].to_pylist()) + "\n").encode("utf-8")
+        # content-digest part names make the sink idempotent: a re-run or a
+        # retried/lineage-reconstructed task rewrites the SAME file instead
+        # of accumulating duplicates (byte-identical blocks coalesce, which
+        # cannot occur for the engine's distinct-triples output)
+        name = f"part-{hashlib.sha256(payload).hexdigest()[:20]}.nt"
+        # tmp name stays unique per writer (two tasks may race on identical
+        # content); only the FINAL rename target is deterministic
+        import os as _os
+        import uuid
+
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}-{_os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))
         return pa.table({"path": pa.array([name], pa.string()),
                          "n_lines": pa.array([t.num_rows], pa.int64())})
@@ -124,8 +156,18 @@ def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
 
 
 def read_ntriples(path: str, base: str = DEFAULT_BASE):
-    """N-Triples file(s) → Dataset[triples] via read_text + batch parser."""
+    """N-Triples file(s) → Dataset[triples] via read_text + batch parser.
+    Directories read only ``*.nt`` parts (never in-flight ``.tmp-`` files
+    a crashed writer may have left behind)."""
+    import os
+
     import ray.data as rd
 
-    ds = rd.read_text(path)
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".nt")
+        )
+        ds = rd.read_text(parts if parts else path)
+    else:
+        ds = rd.read_text(path)
     return ds.map_batches(lambda t, b=base: parse_nt_batch(t, b), batch_format="pyarrow")

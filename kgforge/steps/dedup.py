@@ -135,7 +135,11 @@ def recompute_sigs(docs_ds, cand_ids: list[str], id_col: str = "url_norm",
     )
     for b in cand.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
-            sig_of[u] = np.asarray(s, dtype=np.int64)
+            arr = np.asarray(s, dtype=np.int64)
+            # duplicate ids (caller skipped exact dedup): min-by-bytes pick,
+            # deterministic regardless of block arrival order
+            if u not in sig_of or arr.tobytes() < sig_of[u].tobytes():
+                sig_of[u] = arr
     return sig_of
 
 
@@ -216,6 +220,10 @@ def verified_pairs(sig_ds, threshold: float = NEARDUP_JACCARD) -> list[tuple[str
     if not pairs:
         return []
     sig_of = fetch_sigs(sig_ds, sorted({u for p in pairs for u in p}))
+    return _verify_with(pairs, sig_of, threshold)
+
+
+def _verify_with(pairs, sig_of, threshold: float) -> list[tuple[str, str, float]]:
     out = []
     for a, b in sorted(pairs):
         if a in sig_of and b in sig_of:
@@ -223,6 +231,25 @@ def verified_pairs(sig_ds, threshold: float = NEARDUP_JACCARD) -> list[tuple[str
             if j >= threshold:
                 out.append((a, b, float(j)))
     return out
+
+
+def verified_pairs_from_docs(
+    docs_ds,
+    id_col: str = "url_norm",
+    text_col: str = "extracted_text",
+    threshold: float = NEARDUP_JACCARD,
+) -> list[tuple[str, str, float]]:
+    """verified_pairs without ever materializing the corpus-wide sig
+    column: bands-only side dataset for the collision scan, candidate
+    signatures recomputed from text (same criterion, same results)."""
+    band_ds = minhash_band_ds(docs_ds, id_col, text_col)
+    pairs = candidate_pairs(band_ds)
+    if not pairs:
+        return []
+    sig_of = recompute_sigs(
+        docs_ds, sorted({u for p in pairs for u in p}), id_col, text_col
+    )
+    return _verify_with(pairs, sig_of, threshold)
 
 
 # above this doc count the driver-side collision scan (128 B/doc band
@@ -293,8 +320,6 @@ def _pairs_ds_distributed(sig_ds):
 
     pairs = hits.groupby("band_h").map_groups(form_pairs, batch_format="pyarrow")
     # the same pair can surface from several bands — make edges distinct
-    from ray.data.aggregate import Count
-
     from ..rayutil import ensure_schema
 
     return ensure_schema(
@@ -361,12 +386,18 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
         empty = pa.table(
             {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
         )
-        if g.num_rows != 2:
+        if g.num_rows < 2:
             return empty
         a, b = g["pid"].to_pylist()[0].split(SEP)
         urls = g["url_norm"].to_pylist()
         blobs = g["sigblob"].to_pylist()
-        by = dict(zip(urls, blobs))
+        # an id may join >1 docs row when the caller skipped exact dedup —
+        # pick the MIN blob per id (deterministic, block-order-independent)
+        # instead of refusing the group, matching the driver path
+        by: dict[str, bytes] = {}
+        for u, blob in zip(urls, blobs):
+            if u not in by or blob < by[u]:
+                by[u] = blob
         if a not in by or b not in by:
             return empty
         sa = np.frombuffer(by[a], dtype=np.int64)

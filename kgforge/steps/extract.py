@@ -43,18 +43,29 @@ def exact_dedup_join(ds, num_partitions: int = 8):
     hash join brings the winner keys back to the full rows.
 
     Ties (byte-identical rows — _sort_key includes the content sha) are
-    broken by a per-row unique suffix appended to the key; the surviving
-    row's CONTENT is deterministic because tied rows are identical. The
-    keyed dataset is materialized so both the aggregate pass and the
-    join see identical row keys."""
-    import uuid
+    broken by a per-row suffix appended to the key; the surviving row's
+    CONTENT is deterministic because tied rows are identical. The suffix
+    is a DETERMINISTIC function of the batch (digest of its key column +
+    row index), never a uuid: if a node holding blocks of the
+    materialized keyed dataset dies after the Max aggregate, Ray's
+    lineage reconstruction re-runs add_key on the same input block and
+    MUST reproduce the same keys, or the winners join silently drops
+    every row of the affected urls. The keyed dataset is materialized so
+    the aggregate pass and the join see identical row keys."""
+    import hashlib
 
     from ray.data.aggregate import Max
 
     def add_key(t: pa.Table) -> pa.Table:
-        tag = uuid.uuid4().hex
+        base = _sort_key(t)
+        flat = base.combine_chunks() if isinstance(base, pa.ChunkedArray) else base
+        h = hashlib.blake2b(digest_size=8)
+        for buf in flat.buffers():
+            if buf is not None:
+                h.update(buf)
+        tag = h.hexdigest()
         rid = pa.array([f"{tag}{i:010d}" for i in range(t.num_rows)], pa.string())
-        key = pc.binary_join_element_wise(_sort_key(t), rid, "|")
+        key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()

@@ -43,3 +43,12 @@ def test_neardup_distributed_equals_driver(docs):
     dist = neardup_drop_set(deduped, force_path="distributed")
     assert driver, "corpus should contain near-duplicates"
     assert dist == driver
+
+
+def test_neardup_paths_agree_without_exact_dedup(docs):
+    """Public API allows neardup on a corpus that skipped exact dedup
+    (duplicate url_norms → >2 rows per verify group in the distributed
+    join): both plans must still agree."""
+    driver = neardup_drop_set(docs, force_path="driver")
+    dist = neardup_drop_set(docs, force_path="distributed")
+    assert dist == driver

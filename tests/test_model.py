@@ -175,3 +175,20 @@ def test_degree_hist_log2_bucketing():
     assert set(log2["degree"]) <= {1, 2, 4, 8}
     # s8 has degree 9 → bucket 8
     assert 8 in set(log2["degree"])
+
+
+def test_pred_stats_empty_graph():
+    """All-filtered corpus → zero triples is a legal input; pred_stats
+    must return an empty frame, not KeyError on Ray's schema-less empty
+    aggregate output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.learn import pred_stats
+
+    empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
+                                    "pred": pa.array([], pa.string()),
+                                    "obj": pa.array([], pa.string())}))
+    out = pred_stats(empty)
+    assert len(out) == 0
+    assert set(out.columns) >= {"pred", "n_facts", "n_subj", "n_obj"}

@@ -117,3 +117,12 @@ def test_parse_amie_rules_roundtrip(tmp_path):
     a = out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     b = out2.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_parse_amie_rules_missing_file_raises(tmp_path):
+    import pytest
+
+    from kgforge.model.rules import parse_amie_rules
+
+    with pytest.raises(FileNotFoundError):
+        parse_amie_rules(str(tmp_path / "nope.tsv"))
