@@ -103,7 +103,13 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # untimed: corpus parquet (cached) + warm-up run (page cache, code
     # paths, actor images)
     corpus_path = ensure_corpus_parquet(n_pages)
-    warm = run_flagship(pages_dataset(200, parallelism=8), link_concurrency=(1, 4))
+    # warm-up mirrors the measured run's actor-pool size so worker-process
+    # spawn + per-actor imports happen OUTSIDE the timed window (worker
+    # processes persist across Dataset executions; actor pools do not)
+    warm = run_flagship(
+        pages_dataset(2000, parallelism=max(8, ncpu)),
+        link_concurrency=(max(2, ncpu // 2), ncpu),
+    )
     warm.triples.count()
 
     # ---- headline: Parquet pages → flagship KG construction --------------
@@ -155,7 +161,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ≈ 900 cpu-seconds, so the lo leg is compute-bound and the hi leg is
     still ≫ fixed cost. Overridable via GRAFT_SCALE_PAGES."""
     scale_pages = os.environ.get("GRAFT_SCALE_PAGES", "1200000")
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -176,14 +182,19 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int) -> dict:
-        # best-of-N per leg: this host shows hypervisor-level run-to-run
-        # noise (±30% observed on identical code); min wall is the
-        # standard noise-controlled estimator for throughput
-        runs = [one(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["queries"]["kg_flagship"])
-
-    r_lo, r_hi = best(lo), best(hi)
+    # best-of-N per leg with the legs INTERLEAVED (lo,hi,lo,hi,...): this
+    # host shows hypervisor-level run-to-run noise (±30% observed on
+    # identical code) in multi-minute epochs — sequential per-leg blocks
+    # let one slow epoch bias a whole leg, which swings the efficiency
+    # ratio both ways; interleaving makes both legs sample the same
+    # epochs, and min wall is the standard noise-controlled estimator
+    runs_lo: list[dict] = []
+    runs_hi: list[dict] = []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["kg_flagship"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["kg_flagship"])
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
@@ -194,6 +205,10 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "docs_per_sec_hi": tp_hi,
         "flagship_sec_lo": r_lo["queries"]["kg_flagship"],
         "flagship_sec_hi": r_hi["queries"]["kg_flagship"],
+        # all interleaved rep walls, in run order — makes the host's
+        # run-to-run noise visible next to the best-of estimate
+        "rep_secs_lo": [r["queries"]["kg_flagship"] for r in runs_lo],
+        "rep_secs_hi": [r["queries"]["kg_flagship"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
         "n_pages": r_lo["n_pages"],
