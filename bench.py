@@ -155,6 +155,32 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     }
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def cpu_probe(workers: int, per: int = 6_000_000, reps: int = 2) -> float:
+    """Pure-CPU host throughput at `workers` parallel processes (M ops/s):
+    a tight integer loop under multiprocessing — the NO-pipeline upper
+    bound for any parallel speedup on this machine at this moment. This
+    sandbox's hypervisor over-commits cores and drifts by the hour
+    (observed 0.73-0.97 ceiling for the 4→16 pair across one day), so a
+    scaling report is only interpretable next to a SAME-SESSION ceiling."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(reps):
+        with mp.Pool(workers) as p:
+            t0 = time.perf_counter()
+            p.map(_burn, [per] * workers * 4)
+            dt = time.perf_counter() - t0
+        best = max(best, workers * 4 * per / dt / 1e6)
+    return round(best, 1)
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Scaling needs enough WORK to amortize the pipeline's fixed
     latency (shuffle barriers + actor-pool spin-up, ~3-10 s): 1.2M pages
@@ -195,6 +221,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["kg_flagship"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["kg_flagship"])
+    probe_lo, probe_hi = cpu_probe(lo), cpu_probe(hi)
+    ceiling = (probe_hi / probe_lo) / (hi / lo)
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
@@ -209,6 +237,13 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         # run-to-run noise visible next to the best-of estimate
         "rep_secs_lo": [r["queries"]["kg_flagship"] for r in runs_lo],
         "rep_secs_hi": [r["queries"]["kg_flagship"] for r in runs_hi],
+        # same-session pure-CPU host ceiling (see cpu_probe): the max
+        # efficiency ANY parallel job can measure on this VM right now,
+        # and the pipeline's efficiency normalized by it
+        "cpu_probe_mops_lo": probe_lo,
+        "cpu_probe_mops_hi": probe_hi,
+        "host_ceiling_efficiency": round(ceiling, 3),
+        "ceiling_normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
         "n_pages": r_lo["n_pages"],

@@ -188,9 +188,22 @@ def candidate_pairs(sig_ds) -> set[tuple[str, str]]:
         boundaries = np.nonzero(np.diff(hh))[0] + 1
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [len(hh)]))
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+        sizes = ends - starts
+        # fast path: 2-member buckets are the overwhelming majority (a
+        # bucket is one near-dup pair); a python sorted/set per bucket
+        # costs ~25 µs × 10^5 buckets of DRIVER-serial time, so the
+        # common case is formed with two vectorized object-array min/max
+        # passes and only >2-member buckets take the policy loop
+        two = np.nonzero(sizes == 2)[0]
+        if len(two):
+            a = uu[starts[two]]
+            b = uu[starts[two] + 1]
+            neq = a != b
+            lo_ = np.minimum(a[neq], b[neq])
+            hi_ = np.maximum(a[neq], b[neq])
+            pairs.update(zip(lo_.tolist(), hi_.tolist()))
+        for k in np.nonzero(sizes > 2)[0]:
+            s, e = starts[k], ends[k]
             members = sorted(set(uu[s:e].tolist()))
             if len(members) < 2:
                 continue
