@@ -35,7 +35,10 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
         qi_out, id_out, c_out = [], [], []
         kk = min(k, len(ids))
         for qi in range(nq):
-            top = np.argsort(-cos[:, qi], kind="stable")[:kk]
+            # (-cos, id) order INSIDE the batch too: a cosine tie cut at
+            # the partial-top-k boundary must drop the same row the
+            # driver merge (and the min-id oracle) would drop
+            top = np.lexsort((ids, -cos[:, qi]))[:kk]
             qi_out.extend([qi] * len(top))
             id_out.extend(ids[top].tolist())
             c_out.extend(cos[top, qi].tolist())
@@ -136,7 +139,8 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
                 continue
             cos = mat[mask] @ q[qi]
             sub_ids = ids[mask]
-            top = np.argsort(-cos, kind="stable")[: min(k, mask.sum())]
+            # same (-cos, id) tie order as brute_force_topk
+            top = np.lexsort((sub_ids, -cos))[: min(k, mask.sum())]
             qi_out.extend([qi] * len(top))
             id_out.extend(sub_ids[top].tolist())
             c_out.extend(cos[top].tolist())
