@@ -89,3 +89,30 @@ def run_all(sf_dir: str, names: list[str] | None = None) -> dict[str, tuple[bool
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             out[name] = (False, f"EXCEPTION {type(e).__name__}: {e}")
     return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="python -m kgforge.selfcheck",
+        description="Compare every registered query against its DuckDB oracle.",
+    )
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="subset of query names (default: all)")
+    args = ap.parse_args(argv)
+
+    res = run_all(args.sf_dir, args.names or None)
+    n_fail = 0
+    for name, (ok, msg) in res.items():
+        status = "PASS" if ok else "FAIL"
+        n_fail += 0 if ok else 1
+        print(f"{status} {name}: {msg}", file=sys.stdout)
+    n_sql = sum(1 for _, (ok, m) in res.items() if ok and not m.startswith("rows-only"))
+    print(f"-- {len(res) - n_fail}/{len(res)} pass ({n_sql} SQL-verified), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
