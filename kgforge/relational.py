@@ -194,8 +194,26 @@ def q_lineitem_orders_join(sf_dir: str):
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
     od = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     j = li.join(od, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
-    out = j.groupby(["o_orderstatus", "l_returnflag"]).aggregate(
-        Count(alias_name="n_items"), Sum("l_quantity", alias_name="total_qty")
+
+    # E7 pattern post-join: the group keys have ~9 distinct values, so
+    # collapse each joined batch to per-key partials before the final
+    # groupby — the second shuffle moves a handful of rows per batch
+    # instead of re-shuffling every joined lineitem row.
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "l_returnflag"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")]
+        )
+        g = g.select(
+            ["o_orderstatus", "l_returnflag", "l_quantity_count", "l_quantity_sum"]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "l_returnflag", "p_n", "p_qty"]
+        )
+
+    out = j.map_batches(partial, batch_format="pyarrow").groupby(
+        ["o_orderstatus", "l_returnflag"]
+    ).aggregate(
+        Sum("p_n", alias_name="n_items"), Sum("p_qty", alias_name="total_qty")
     )
     return _round_cols(out.to_pandas(), {"total_qty": 2})
 
@@ -234,8 +252,20 @@ def q_revenue_by_segment(sf_dir: str):
         batch_format="pyarrow",
     )
     j = li.join(od, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
-    out = j.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_items"), Sum("revenue_raw", alias_name="revenue")
+
+    # 5 market segments → per-batch partials so the post-join groupby
+    # shuffles ≤5 rows per batch (E7 pattern, see q_lineitem_orders_join).
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("revenue_raw", "count"), ("revenue_raw", "sum")]
+        )
+        g = g.select(["c_mktsegment", "revenue_raw_count", "revenue_raw_sum"])
+        return g.rename_columns(["c_mktsegment", "p_n", "p_rev"])
+
+    out = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="revenue")
     )
     return _round_cols(out.to_pandas(), {"revenue": 2})
 
