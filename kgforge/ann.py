@@ -76,9 +76,16 @@ def train_centroids(ds, n_centroids: int = 16, sample_mod: int = 5,
             stable_u64(str(v), "ivfsample") % sample_mod == 0
             for v in t[id_col].to_pylist()
         ]
-        return t.select([vec_col]).filter(pa_.array(keep))
+        return t.select([id_col, vec_col]).filter(pa_.array(keep))
 
-    sample = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    # take_all row order follows streaming completion order (Ray Data
+    # defaults to preserve_order=False), so sort the sample by id before
+    # seeding k-means — otherwise rng.choice picks DIFFERENT vectors per
+    # run and the quantizer (hence IVF recall) is nondeterministic.
+    sample = sorted(
+        ds.map_batches(pick, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )
     mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

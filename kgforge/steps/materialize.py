@@ -90,10 +90,38 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     )
 
 
-def materialize_triples(linked_ds):
+def materialize_triples(linked_ds, small_sort_threshold: int = 200_000):
     """E6+E7+F1: linked triples → final distinct sorted graph
-    (subj, pred, obj, n_sources, first_url)."""
-    partial = linked_ds.map_batches(_partial_agg, batch_format="pyarrow")
+    (subj, pred, obj, n_sources, first_url).
+
+    The aggregate is materialized (it is the final product; the sort
+    would materialize it anyway). When the distinct-triple count is
+    small the global Sort operator is pure fixed all-to-all overhead
+    (sampling + range exchange to order a few hundred rows), so sort
+    the gathered Arrow table on the driver instead; above the
+    threshold the distributed range sort runs as before."""
+    import ray
+
+    partial = linked_ds.map_batches(_partial_agg, batch_format="pyarrow").materialize()
+    if partial.count() <= small_sort_threshold:
+        # Final combine on the driver: the partials ARE the two-level
+        # aggregate's shuffle input (one row per (s,p,o) per batch —
+        # counts, never documents), so when they are small the hash
+        # Aggregate + range Sort operators are pure fixed all-to-all
+        # overhead (~2-3 s in Ray 2.49 local mode, BASELINE.md log).
+        # Gathering them is the blessed small-side pattern; semantics
+        # are identical and equality-tested vs the distributed path.
+        t = pa.concat_tables(ray.get(partial.to_arrow_refs()))
+        out = t.group_by(["subj", "pred", "obj"]).aggregate(
+            [("partial_sources", "sum"), ("partial_first_url", "min")]
+        )
+        out = out.select(
+            ["subj", "pred", "obj", "partial_sources_sum", "partial_first_url_min"]
+        ).rename_columns(["subj", "pred", "obj", "n_sources", "first_url"])
+        out = out.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
+        return ray.data.from_arrow(out)
     agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
         Sum("partial_sources", alias_name="n_sources"),
         Min("partial_first_url", alias_name="first_url"),

@@ -80,3 +80,17 @@ def test_two_level_equals_naive():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, naive[["subj", "pred", "obj", "n_sources", "first_url"]])
+
+
+def test_driver_combine_equals_distributed_path():
+    """materialize_triples has two final-combine paths (driver Arrow
+    combine below small_sort_threshold, hash Aggregate + range Sort
+    above); both must produce identical frames, including dtypes."""
+    t = _skewed_linked(n=8_000, seed=7)
+    ds = rd.from_arrow(t).repartition(16)
+    small = materialize_triples(ds, small_sort_threshold=10**9).to_pandas()
+    dist = materialize_triples(ds, small_sort_threshold=0).to_pandas()
+    cols = ["subj", "pred", "obj", "n_sources", "first_url"]
+    pd.testing.assert_frame_equal(
+        small[cols].reset_index(drop=True), dist[cols].reset_index(drop=True)
+    )
