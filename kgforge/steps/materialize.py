@@ -90,7 +90,7 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     )
 
 
-def materialize_triples(linked_ds, small_sort_threshold: int = 200_000):
+def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000):
     """E6+E7+F1: linked triples → final distinct sorted graph
     (subj, pred, obj, n_sources, first_url).
 
@@ -99,7 +99,10 @@ def materialize_triples(linked_ds, small_sort_threshold: int = 200_000):
     small the global Sort operator is pure fixed all-to-all overhead
     (sampling + range exchange to order a few hundred rows), so sort
     the gathered Arrow table on the driver instead; above the
-    threshold the distributed range sort runs as before."""
+    threshold the distributed range sort runs as before. The 1M-row
+    default bounds the driver gather at ~60 MB (5 short columns); a
+    10^12-doc run has billions of partial rows and always takes the
+    distributed branch."""
     import ray
 
     partial = linked_ds.map_batches(_partial_agg, batch_format="pyarrow").materialize()
