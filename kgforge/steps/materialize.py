@@ -114,7 +114,13 @@ def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000):
         # overhead (~2-3 s in Ray 2.49 local mode, BASELINE.md log).
         # Gathering them is the blessed small-side pattern; semantics
         # are identical and equality-tested vs the distributed path.
-        t = pa.concat_tables(ray.get(partial.to_arrow_refs()))
+        refs = partial.to_arrow_refs()
+        t = pa.concat_tables(ray.get(refs)) if refs else _partial_agg(
+            pa.table({"subj_id": pa.array([], pa.string()),
+                      "pred": pa.array([], pa.string()),
+                      "obj_id": pa.array([], pa.string()),
+                      "url_norm": pa.array([], pa.string())})
+        )
         out = t.group_by(["subj", "pred", "obj"]).aggregate(
             [("partial_sources", "sum"), ("partial_first_url", "min")]
         )

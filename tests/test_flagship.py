@@ -107,3 +107,28 @@ def test_flagship_emits_literal_facts(engine, oracle):
     assert all(p == "founded_in" for _, p, _ in eng_lits)
     ref_lits = {t for t in oracle.triple_set() if t[2].startswith("lit:")}
     assert eng_lits == ref_lits
+
+
+def test_empty_corpus_flagship():
+    """Edge probe (verify recipe): a 0-page corpus must flow through the
+    whole pipeline — empty shuffle blocks are schema-less in Ray 2.49,
+    so every stage needs its empty-input guard."""
+    from kgforge.corpus import pages_dataset
+    from kgforge.pipelines.flagship import run_flagship
+
+    res = run_flagship(pages_dataset(0, parallelism=2))
+    assert res.docs.count() == 0
+    assert res.triples.count() == 0
+
+
+def test_tiny_slice_flagship():
+    """3-page slice starting mid-corpus (includes malformed-page rng)."""
+    import ray.data as rd
+
+    from kgforge.corpus import pages_table
+    from kgforge.pipelines.flagship import run_flagship
+
+    res = run_flagship(rd.from_arrow(pages_table(3, start=4)))
+    assert res.docs.count() <= 3
+    t = res.triples.to_pandas()
+    assert list(t.columns) == ["subj", "pred", "obj", "n_sources", "first_url"]
