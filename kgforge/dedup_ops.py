@@ -87,10 +87,16 @@ def jaccard_pairs_profile(ds, id_col: str, text_col: str, threshold: float = 0.7
         lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_arr)),
         batch_format="pyarrow",
     )
-    texts: dict[str, set] = {}
+    # blocks arrive in nondeterministic order: when an id is duplicated with
+    # differing texts (exact dedup skipped upstream), pick the min-by-bytes
+    # text — the same deterministic rule recompute_sigs uses
+    raw: dict[str, str] = {}
     for bt in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for i, txt in zip(bt[id_col].to_pylist(), bt[text_col].to_pylist()):
-            texts[str(i)] = mk_shingles(txt, k)
+            key = str(i)
+            if key not in raw or txt.encode() < raw[key].encode():
+                raw[key] = txt
+    texts = {key: mk_shingles(txt, k) for key, txt in raw.items()}
     return pa.table(
         {
             "a": pa.array([a for a, _, _ in rows], pa.string()),

@@ -24,6 +24,15 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count
 
 
+def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """Ray groupbys of EMPTY datasets come back schema-less — pin the
+    expected columns so downstream column access never KeyErrors on an
+    empty graph (all-filtered corpus is a legal input)."""
+    if all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+
+
 def _rename(ds, mapping: dict[str, str]):
     return ds.map_batches(
         lambda t, m=mapping: t.rename_columns([m.get(c, c) for c in t.column_names]),
@@ -114,13 +123,10 @@ def type_dist(triples_ds, id_type: dict):
         lambda t, m=id_type: pa.table({"type_set": _map_type_set(t["entity"], m)}),
         batch_format="pyarrow",
     )
-    df = (
-        typed.groupby("type_set")
-        .aggregate(Count(alias_name="n_entities"))
-        .to_pandas()
-        .sort_values("type_set")
-        .reset_index(drop=True)
-    )
+    df = _ensure_cols(
+        typed.groupby("type_set").aggregate(Count(alias_name="n_entities")).to_pandas(),
+        {"type_set": "str", "n_entities": "int64"},
+    ).sort_values("type_set").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -150,13 +156,7 @@ def pred_stats(triples_ds):
     whole graph): n_facts and n_reflexive are single groupby counts;
     distinct-subject/object counts are two-level groupbys (E2 pattern);
     only the |preds|-sized result frames reach the driver."""
-    def _ensure(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
-        """Ray groupbys of EMPTY datasets come back schema-less — pin the
-        expected columns so the merges below never KeyError on an empty
-        graph (all-filtered corpus is a legal input)."""
-        if all(c in df.columns for c in cols):
-            return df
-        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+    _ensure = _ensure_cols
 
     nf = _ensure(
         triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts")).to_pandas(),
@@ -198,17 +198,21 @@ def learn_model(triples_ds, id_type: dict[str, str]) -> dict[str, pd.DataFrame]:
     """Full KBModel: all histograms as small pandas frames (each is
     bounded by |preds| × |degree buckets|, tiny next to the graph)."""
 
-    def pdf(x):
-        return x.to_pandas() if not isinstance(x, (pd.DataFrame, pa.Table)) else (
-            x.to_pandas() if isinstance(x, pa.Table) else x
-        )
+    def pdf(x, cols: dict[str, str]):
+        df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
+        return _ensure_cols(df, cols)
 
+    deg_cols = {"pred": "str", "direction": "str", "degree": "int64",
+                "n_entities": "int64"}
     return {
-        "pred_freq": pdf(pred_freq(triples_ds)),
-        "degree_out": pdf(degree_hist(triples_ds, "out")),
-        "degree_in": pdf(degree_hist(triples_ds, "in")),
-        "type_dist": pdf(type_dist(triples_ds, id_type)),
-        "domain_range": pdf(domain_range(triples_ds, id_type)),
+        "pred_freq": pdf(pred_freq(triples_ds), {"pred": "str", "n_facts": "int64"}),
+        "degree_out": pdf(degree_hist(triples_ds, "out"), deg_cols),
+        "degree_in": pdf(degree_hist(triples_ds, "in"), deg_cols),
+        "type_dist": pdf(type_dist(triples_ds, id_type),
+                         {"type_set": "str", "n_entities": "int64"}),
+        "domain_range": pdf(domain_range(triples_ds, id_type),
+                            {"pred": "str", "subj_type": "str", "obj_type": "str",
+                             "n_facts": "int64"}),
         "pred_stats": pred_stats(triples_ds),
     }
 

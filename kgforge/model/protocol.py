@@ -57,7 +57,10 @@ class M1Learner:
             [
                 {"pred": p, "direction": d, "degree": 1, "n_entities": 1}
                 for p, d in itertools.product(preds, ("out", "in"))
-            ]
+            ],
+            # empty graph → zero predicates; pin the columns so the
+            # direction selection below still works on the empty frame
+            columns=["pred", "direction", "degree", "n_entities"],
         )
         out["degree_out"] = deg[deg["direction"] == "out"].reset_index(drop=True)
         out["degree_in"] = deg[deg["direction"] == "in"].reset_index(drop=True)

@@ -24,16 +24,32 @@ _XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
 # that were PLAIN in the source but whose lexical form would otherwise be
 # re-typed by the engine's year inference (keeps write∘parse faithful)
 _PLAIN_DT = "plain"
+# a carriage suffix is only honored when the candidate datatype is the
+# sentinel or a syntactically valid absolute IRI (IRIREF forbids controls,
+# space, <>"{}|^`\ — so a datatype segment can never contain "^^", making
+# rsplit("^^", 1) unambiguous for every token parse_nt_batch produces)
+_DT_IRI = re.compile(r'^[^\x00-\x20<>"{}|^`\\]+$')
 
 
 def _escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n").replace("\r", "\\r")
 
 
+_ESC_SEQ = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace("\\r", "\r").replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
-    )
+    # single pass (sequential .replace corrupts a literal backslash
+    # followed by 'n'/'r': "\\n" -> "\\\\n" -> backslash+newline);
+    # \uXXXX/\UXXXXXXXX accepted from foreign N-Triples files
+    def sub(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _ESC_MAP.get(g, g)
+
+    return _ESC_SEQ.sub(sub, s)
 
 
 def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
@@ -46,12 +62,15 @@ def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
         if o.startswith("lit:"):
             v = o[4:]
             if "^^" in v:
-                # externally-parsed literal with explicit datatype carriage
-                # (see parse_nt_batch) — re-emit exactly what was read
-                lex, dt = v.split("^^", 1)
-                if dt in ("", _PLAIN_DT):
+                # possibly a literal with explicit datatype carriage (see
+                # parse_nt_batch) — honor the suffix only when it IS a
+                # carriage (sentinel or valid IRI with a scheme colon); a
+                # plain lexical form that merely contains "^^" falls through
+                lex, dt = v.rsplit("^^", 1)
+                if dt == _PLAIN_DT:
                     return f'"{_escape(lex)}"'
-                return f'"{_escape(lex)}"^^<{dt}>'
+                if ":" in dt and _DT_IRI.match(dt):
+                    return f'"{_escape(lex)}"^^<{dt}>'
             if v.isdigit() and len(v) == 4:
                 return f'"{_escape(v)}"^^<{_XSD_GYEAR}>'
             return f'"{_escape(v)}"'
@@ -99,7 +118,11 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
             dt = m.group("dt")
             is_year = lex.isdigit() and len(lex) == 4
             if dt is None:
-                o = f"lit:{lex}^^{_PLAIN_DT}" if is_year else f"lit:{lex}"
+                # the sentinel also guards plain lexical forms CONTAINING
+                # "^^", which to_nt_lines would otherwise mis-read as a
+                # datatype carriage (rsplit pairs with this marker)
+                needs_marker = is_year or "^^" in lex
+                o = f"lit:{lex}^^{_PLAIN_DT}" if needs_marker else f"lit:{lex}"
             elif dt == _XSD_GYEAR and is_year:
                 o = f"lit:{lex}"
             else:
@@ -150,23 +173,43 @@ def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
                          "n_lines": pa.array([t.num_rows], pa.int64())})
 
     # consume to drive the streaming write; the result is tiny (1 row/file)
-    triples_ds.map_batches(
+    written = triples_ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=65536
     ).materialize()
+    # a manifest pins the CURRENT run's part set: re-running into the same
+    # dir with changed data produces different digests, and without this the
+    # old parts would survive and read_ntriples would union stale triples
+    names = sorted({r["path"] for r in written.take_all()})
+    tmp = os.path.join(out_dir, f".tmp-manifest-{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(names) + ("\n" if names else ""))
+    os.replace(tmp, os.path.join(out_dir, "_MANIFEST"))
+    keep = set(names)
+    for f in os.listdir(out_dir):
+        if f.endswith(".nt") and f not in keep:
+            os.remove(os.path.join(out_dir, f))
 
 
 def read_ntriples(path: str, base: str = DEFAULT_BASE):
     """N-Triples file(s) → Dataset[triples] via read_text + batch parser.
-    Directories read only ``*.nt`` parts (never in-flight ``.tmp-`` files
-    a crashed writer may have left behind)."""
+    Directories read the ``_MANIFEST`` part list when present (exactly the
+    last completed write — never stale parts from a previous run or
+    in-flight ``.tmp-`` files a crashed writer left behind), else all
+    ``*.nt`` parts."""
     import os
 
     import ray.data as rd
 
     if os.path.isdir(path):
-        parts = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".nt")
-        )
+        manifest = os.path.join(path, "_MANIFEST")
+        if os.path.isfile(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                names = [ln.strip() for ln in fh if ln.strip()]
+            parts = [os.path.join(path, n) for n in names]
+        else:
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".nt")
+            )
         ds = rd.read_text(parts if parts else path)
     else:
         ds = rd.read_text(path)

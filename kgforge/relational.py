@@ -200,11 +200,13 @@ def q_lineitem_orders_join(sf_dir: str):
     # groupby — the second shuffle moves a handful of rows per batch
     # instead of re-shuffling every joined lineitem row.
     def partial(t: pa.Table) -> pa.Table:
+        # count_all (row count), NOT "count" (non-null count): the oracle is
+        # count(*), which counts a row whose l_quantity is NULL
         g = t.group_by(["o_orderstatus", "l_returnflag"]).aggregate(
-            [("l_quantity", "count"), ("l_quantity", "sum")]
+            [([], "count_all"), ("l_quantity", "sum")]
         )
         g = g.select(
-            ["o_orderstatus", "l_returnflag", "l_quantity_count", "l_quantity_sum"]
+            ["o_orderstatus", "l_returnflag", "count_all", "l_quantity_sum"]
         )
         return g.rename_columns(
             ["o_orderstatus", "l_returnflag", "p_n", "p_qty"]
@@ -256,10 +258,11 @@ def q_revenue_by_segment(sf_dir: str):
     # 5 market segments → per-batch partials so the post-join groupby
     # shuffles ≤5 rows per batch (E7 pattern, see q_lineitem_orders_join).
     def partial(t: pa.Table) -> pa.Table:
+        # count_all = count(*) semantics (rows, not non-null revenue_raw)
         g = t.group_by("c_mktsegment").aggregate(
-            [("revenue_raw", "count"), ("revenue_raw", "sum")]
+            [([], "count_all"), ("revenue_raw", "sum")]
         )
-        g = g.select(["c_mktsegment", "revenue_raw_count", "revenue_raw_sum"])
+        g = g.select(["c_mktsegment", "count_all", "revenue_raw_sum"])
         return g.rename_columns(["c_mktsegment", "p_n", "p_rev"])
 
     out = j.map_batches(partial, batch_format="pyarrow").groupby(

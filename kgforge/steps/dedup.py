@@ -467,11 +467,7 @@ def neardup_drop_set(docs_ds, force_path: str | None = None) -> set[str]:
     verified: list[tuple[str, str, float]] = []
     if pairs:
         sig_of = recompute_sigs(docs_ds, sorted({u for p in pairs for u in p}))
-        for a, b_ in sorted(pairs):
-            if a in sig_of and b_ in sig_of:
-                j = sig_jaccard(sig_of[a], sig_of[b_])
-                if j >= NEARDUP_JACCARD:
-                    verified.append((a, b_, float(j)))
+        verified = _verify_with(pairs, sig_of, NEARDUP_JACCARD)
     uf = UnionFind()
     for a, b_, _j in verified:
         uf.union(a, b_)

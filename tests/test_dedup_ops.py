@@ -133,3 +133,28 @@ def test_embedding_hot_bucket_is_linear():
     out = embedding_neardup_pairs(rd.from_arrow(t), "vec_id", "embedding",
                                   threshold=0.9).to_pandas()
     assert 0 < len(out) <= 4 * n
+
+
+def test_jaccard_profile_duplicate_ids_deterministic():
+    """Duplicate ids with differing texts (exact dedup skipped): the exact
+    Jaccard must come from the min-by-bytes text per id — the same
+    deterministic pick recompute_sigs makes — regardless of block order."""
+    from kgforge.dedup_core import jaccard as _jac, shingles as _sh
+    from kgforge.dedup_ops import jaccard_pairs_profile
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    t = pa.table({
+        "id": ["a", "a", "b"],
+        # two texts for id 'a'; min-by-bytes is the one starting with 'A'
+        "text": ["A " + base, "z " + base, "A " + base + " tailword"],
+    })
+    outs = []
+    for parallelism in (1, 3):
+        ds = rd.from_arrow(t).repartition(parallelism)
+        out = jaccard_pairs_profile(ds, "id", "text", threshold=0.5)
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]
+    rows = [r for r in outs[0] if (r["a"], r["b"]) == ("a", "b")]
+    assert rows, f"candidate pair (a, b) not found: {outs[0]}"
+    expect = _jac(_sh("A " + base, 3), _sh("A " + base + " tailword", 3))
+    assert rows[0]["exact_jaccard"] == round(expect, 4)

@@ -192,3 +192,21 @@ def test_pred_stats_empty_graph():
     out = pred_stats(empty)
     assert len(out) == 0
     assert set(out.columns) >= {"pred", "n_facts", "n_subj", "n_obj"}
+
+
+def test_m1_learner_empty_graph():
+    """M1's degenerate degree frame is built from the (empty) predicate
+    list; an empty graph must yield an empty model, not KeyError on the
+    zero-column DataFrame."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.protocol import get_learner
+
+    empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
+                                    "pred": pa.array([], pa.string()),
+                                    "obj": pa.array([], pa.string())}))
+    model = get_learner("m1").learn(empty, {})
+    assert len(model["pred_freq"]) == 0
+    assert len(model["degree_out"]) == 0 and len(model["degree_in"]) == 0
+    assert list(model["degree_out"].columns) == ["pred", "direction", "degree", "n_entities"]

@@ -112,6 +112,31 @@ def test_write_ntriples_rerun_idempotent(tmp_path):
     assert len(back) == 2
 
 
+def test_plain_literal_containing_caret_caret_roundtrips():
+    """A plain literal whose TEXT contains '^^' must not be mis-read as a
+    datatype carriage on re-write (lexical truncation + invented IRI)."""
+    for lex in ("a^^b", "x^^http://evil.example/t", "ends^^", "2024^^plain"):
+        esc = lex.replace("\\", "\\\\").replace('"', '\\"')
+        src = pa.table({"line": [f'<http://kgforge.example/entity/e1> '
+                                 f'<http://kgforge.example/pred/motto> "{esc}" .']})
+        parsed = parse_nt_batch(src)
+        out = to_nt_lines(parsed)
+        assert parse_nt_batch(out).to_pylist() == parsed.to_pylist()
+        line = out["line"].to_pylist()[0]
+        assert f'"{esc}" .' in line, (lex, line)  # still a PLAIN literal
+
+
+def test_write_ntriples_changed_data_removes_stale_parts(tmp_path):
+    """Re-running the sink with DIFFERENT data must not leave the previous
+    run's digest-named parts behind (read would union stale triples)."""
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_arrow(_triples_table()), out)
+    t2 = pa.table({"subj": ["e9"], "pred": ["p"], "obj": ["e8"]})
+    write_ntriples(rd.from_arrow(t2), out)
+    back = read_ntriples(out).to_pandas()
+    assert back.to_dict("records") == t2.to_pylist()
+
+
 def test_read_ntriples_skips_stale_tmp(tmp_path):
     ds = rd.from_arrow(_triples_table())
     out = str(tmp_path / "nt")
@@ -123,3 +148,43 @@ def test_read_ntriples_skips_stale_tmp(tmp_path):
         "<http://kgforge.example/entity/yy> .\n")
     back = read_ntriples(out).to_pandas()
     assert len(back) == 2 and "zz" not in set(back["subj"])
+
+
+def test_escape_unescape_backslash_sequences():
+    """Literal backslash followed by 'n'/'r' must survive the round trip
+    (sequential .replace unescaping corrupted it)."""
+    from kgforge.ntriples import _escape, _unescape
+
+    for s in ["\\n", "\\r", "a\\\\nb", "back\\slash", 'q"uote', "nl\nx", "\\"]:
+        assert _unescape(_escape(s)) == s, repr(s)
+
+
+def test_unicode_escapes_from_foreign_files():
+    src = pa.table({"line": ['<http://x.example/e> <http://x.example/p> '
+                             '"\\u0041\\U00000042\\tc" .']})
+    parsed = parse_nt_batch(src)
+    assert parsed["obj"].to_pylist() == ["lit:AB\tc"]
+
+
+def test_literal_lexical_roundtrip_property():
+    """Property: any lexical form round-trips write -> parse -> write with
+    an identical emitted line (fixed point), and parse recovers the exact
+    lexical text."""
+    from hypothesis import given, settings, strategies as st
+
+    from kgforge.ntriples import _PLAIN_DT
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40))
+    def prop(lex):
+        t = pa.table({"subj": ["e1"], "pred": ["p"], "obj": [f"lit:{lex}"]})
+        line1 = to_nt_lines(t)
+        parsed = parse_nt_batch(line1)
+        assert parsed.num_rows == 1
+        got = parsed["obj"].to_pylist()[0]
+        # parse may add the plain-marker carriage; the lexical part must match
+        assert got == f"lit:{lex}" or got == f"lit:{lex}^^{_PLAIN_DT}", (lex, got)
+        line2 = to_nt_lines(parsed)
+        assert line2["line"].to_pylist() == line1["line"].to_pylist(), lex
+
+    prop()
