@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .ntriples import make_literal
 from .ontology import (
     EMB_DIM,
     PRED_BY_NAME,
@@ -215,7 +216,8 @@ def link_triple(
         lit_re = _LITERAL_RES.get(p.range)
         if lit_re is None or not lit_re.match(obj_surface):
             return None
-        return s_id, pred, f"lit:{obj_surface}", s_score
+        dt = "gYear" if p.range == "literal:gYear" else None
+        return s_id, pred, make_literal(obj_surface, dt), s_score
     o_id, o_score = link_surface(obj_surface, p.range, ctx, res)
     if o_id is None:
         return None

@@ -31,6 +31,24 @@ _PLAIN_DT = "plain"
 _DT_IRI = re.compile(r'^[^\x00-\x20<>"{}|^`\\]+$')
 
 
+def make_literal(lex: str, dt: str | None = None) -> str:
+    """Canonical ``lit:`` token for a literal object — the ONLY way engine
+    code should construct one. Appends the plain-marker carriage whenever
+    the bare form would be ambiguous on re-write (year-shaped lexical
+    forms the serializer would re-type as gYear, and lexical forms
+    containing ``^^`` that would otherwise be mis-read as a datatype
+    carriage), so ``to_nt_lines ∘ parse_nt_batch`` is faithful for every
+    token produced through this constructor."""
+    is_year = lex.isdigit() and len(lex) == 4
+    if dt is None:
+        if is_year or "^^" in lex:
+            return f"lit:{lex}^^{_PLAIN_DT}"
+        return f"lit:{lex}"
+    if dt in (_XSD_GYEAR, "gYear") and is_year:
+        return f"lit:{lex}"  # engine-native gYear form (serializer re-types)
+    return f"lit:{lex}^^{dt}"
+
+
 def _escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n").replace("\r", "\\r")
 
@@ -210,7 +228,17 @@ def read_ntriples(path: str, base: str = DEFAULT_BASE):
             parts = sorted(
                 os.path.join(path, f) for f in os.listdir(path) if f.endswith(".nt")
             )
-        ds = rd.read_text(parts if parts else path)
+        if not parts:
+            # an empty part list (empty-dataset write, or a bare directory
+            # with no .nt files) means an EMPTY graph — falling back to
+            # read_text(dir) here would slurp _MANIFEST itself plus any
+            # .tmp- debris a crashed writer left, resurrecting stale triples
+            return rd.from_arrow(
+                pa.table({"subj": pa.array([], pa.string()),
+                          "pred": pa.array([], pa.string()),
+                          "obj": pa.array([], pa.string())})
+            )
+        ds = rd.read_text(parts)
     else:
         ds = rd.read_text(path)
     return ds.map_batches(lambda t, b=base: parse_nt_batch(t, b), batch_format="pyarrow")

@@ -95,14 +95,16 @@ def q1_pricing_summary(sf_dir: str):
             "disc_price",
             pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
         )
+        # count_all (row count), NOT ("l_quantity", "count") — the oracle
+        # is count(*), which counts a row whose l_quantity is NULL
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+             ("disc_price", "sum"), ([], "count_all")]
         )
         # select by NAME (pyarrow puts key columns last), then rename
         g = g.select(
             ["l_returnflag", "l_linestatus", "l_quantity_sum",
-             "l_extendedprice_sum", "disc_price_sum", "l_quantity_count"]
+             "l_extendedprice_sum", "disc_price_sum", "count_all"]
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
@@ -584,7 +586,7 @@ def q_events_json(sf_dir: str):
     "q_doc_token_counts",
     """
     SELECT doc_id,
-           array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
            n_chars
     FROM documents WHERE n_chars > 0
     """,
@@ -870,7 +872,7 @@ def q_doc_exact_dedup_sha(sf_dir: str):
     "q_doc_bpe_token_counts",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+'))
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v]+'))
              AS n_bpe_tokens
     FROM documents
     """,
@@ -884,8 +886,12 @@ def q_doc_bpe_token_counts(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "n_bpe_tokens": pc.cast(
+                    # explicit whitespace class, NOT \s or [:space:]: RE2 \s
+                    # excludes \v while POSIX [:space:] includes it — the
+                    # same class on both sides makes engine ≡ oracle on any
+                    # input (see test_text_queries_match_oracle_on_adversarial_documents)
                     pc.count_substring_regex(
-                        t["text"], pattern=r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+                        t["text"], pattern=r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+"
                     ),
                     pa.int64(),
                 ),
@@ -1013,13 +1019,13 @@ def q_events_asof_last_signup(sf_dir: str):
       SELECT doc_id,
              text,
              length(text) AS nc,
-             string_split(text, ' ') AS tk
+             regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f\\v]+') AS tk
       FROM documents
     ), feats AS (
       SELECT doc_id,
              nc,
              len(tk) AS nt,
-             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np_,
+             len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS np_,
              len(list_filter(tk, x -> x IN (
                'the','and','of','a','to','in','is','was','for','on','with',
                'as','by','at','an','be','this','that','from','it','are'
@@ -1031,21 +1037,26 @@ def q_events_asof_last_signup(sf_dir: str):
       SELECT doc_id,
              nc AS n_chars_q,
              nt AS n_tokens,
-             CAST(np_ AS DOUBLE) / nc AS punct_ratio,
-             CAST(nstop AS DOUBLE) / nt AS stopword_ratio,
-             CAST(ndist AS DOUBLE) / nt AS distinct_ratio,
-             CAST(sumlen AS DOUBLE) / nt AS mean_token_len
+             CASE WHEN nc = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(np_ AS DOUBLE) / nc END AS punct_ratio,
+             CASE WHEN nt = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(nstop AS DOUBLE) / nt END AS stopword_ratio,
+             CASE WHEN nt = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(ndist AS DOUBLE) / nt END AS distinct_ratio,
+             CASE WHEN nt = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(sumlen AS DOUBLE) / nt END AS mean_token_len
       FROM feats
     )
     SELECT doc_id, n_chars_q, n_tokens, punct_ratio, stopword_ratio,
            distinct_ratio, mean_token_len,
-           least(1.0::DOUBLE, n_tokens / 50.0::DOUBLE) * 0.3::DOUBLE
-             + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4)) * 0.2::DOUBLE
-             + least(1.0::DOUBLE, stopword_ratio * 5) * 0.2::DOUBLE
-             + distinct_ratio * 0.2::DOUBLE
-             + (CASE WHEN mean_token_len BETWEEN 3.0::DOUBLE AND 9.0::DOUBLE
-                     THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.1::DOUBLE
-             AS quality_score
+           CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE ELSE
+             least(1.0::DOUBLE, n_tokens / 50.0::DOUBLE) * 0.3::DOUBLE
+               + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4)) * 0.2::DOUBLE
+               + least(1.0::DOUBLE, stopword_ratio * 5) * 0.2::DOUBLE
+               + distinct_ratio * 0.2::DOUBLE
+               + (CASE WHEN mean_token_len BETWEEN 3.0::DOUBLE AND 9.0::DOUBLE
+                       THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.1::DOUBLE
+           END AS quality_score
     FROM ratios
     """,
 )

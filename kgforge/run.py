@@ -22,6 +22,8 @@ import time
 
 
 def _partition_ranges(n_pages: int, partitions: int) -> list[tuple[int, int]]:
+    if n_pages <= 0:
+        return []  # range(0, 0, 0) would raise; empty corpus → no partitions
     step = (n_pages + partitions - 1) // partitions
     return [(i, min(i + step, n_pages)) for i in range(0, n_pages, step)]
 
@@ -220,6 +222,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--stop-after", type=int, default=-1,
                     help="crash simulation: stop after K stage-1 partitions")
     args = ap.parse_args(argv)
+    if args.input is None and args.n_pages <= 0:
+        ap.error("--n-pages must be >= 1 for a synthetic-corpus run")
+    if args.partitions <= 0:
+        ap.error("--partitions must be >= 1")
 
     import ray
 

@@ -222,7 +222,12 @@ def fetch_sigs(sig_ds, cand_ids: list[str]) -> dict[str, np.ndarray]:
     )
     for b in cand_sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
-            sig_of[u] = np.asarray(s, dtype=np.int64)
+            arr = np.asarray(s, dtype=np.int64)
+            # duplicate ids (caller skipped exact dedup): min-by-bytes pick,
+            # deterministic regardless of block arrival order — the same
+            # rule recompute_sigs and _verify_pairs_ds apply
+            if u not in sig_of or arr.tobytes() < sig_of[u].tobytes():
+                sig_of[u] = arr
     return sig_of
 
 

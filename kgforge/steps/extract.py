@@ -68,11 +68,20 @@ def exact_dedup_join(ds, num_partitions: int = 8):
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
+    from ..rayutil import ensure_schema
+
     keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
     winners = (
         keyed.select_columns(["url_norm", "__dedup_key"])
         .groupby("url_norm")
         .aggregate(Max("__dedup_key", alias_name="__dedup_key"))
+    )
+    # hash-shuffle aggregates emit schema-less EMPTY blocks for empty
+    # partitions (Ray 2.49); pin the schema or the join dies with
+    # "No match ... for key field reference" (see rayutil.ensure_schema)
+    winners = ensure_schema(
+        winners,
+        pa.schema([("url_norm", pa.string()), ("__dedup_key", pa.string())]),
     )
     out = keyed.join(
         winners,
@@ -115,11 +124,23 @@ def exact_dedup(ds, force_path: str | None = None):
         if force_path == "join" or ds.count() > limit:
             return exact_dedup_join(ds)
 
-    def _hash_urls(col) -> np.ndarray:
-        """Vectorized 64-bit url hash (polars Rust kernel — the hash only
-        has to be stable WITHIN one run, both passes share this fn);
-        falls back to the per-row stable hash without polars."""
-        try:
+    # the hash only has to be stable WITHIN one run, but it must be the
+    # SAME function in both passes on EVERY worker — so the implementation
+    # choice is made ONCE here on the driver and closed over, never probed
+    # per-task (a heterogeneous cluster where only some workers have polars
+    # would otherwise silently miss duplicates). If the driver picks polars
+    # and a worker lacks it, the task fails loudly instead.
+    try:
+        import polars  # noqa: F401
+
+        use_polars = True
+    except ImportError:
+        use_polars = False
+
+    def _hash_urls(col, _polars=use_polars) -> np.ndarray:
+        """Vectorized 64-bit url hash (polars Rust kernel when the driver
+        chose it; per-row stable hash otherwise)."""
+        if _polars:
             import polars as pl
 
             if isinstance(col, pa.ChunkedArray):
@@ -127,11 +148,10 @@ def exact_dedup(ds, force_path: str | None = None):
             return (
                 pl.from_arrow(col).hash(seed=41).to_numpy().astype(np.uint64).view(np.int64)
             )
-        except ImportError:
-            return np.array(
-                [stable_u64(u, "urldup") - (1 << 63) for u in col.to_pylist()],
-                dtype=np.int64,
-            )
+        return np.array(
+            [stable_u64(u, "urldup") - (1 << 63) for u in col.to_pylist()],
+            dtype=np.int64,
+        )
 
     def _key_hash(t: pa.Table) -> pa.Table:
         return pa.table({"h": pa.array(_hash_urls(t["url_norm"]), pa.int64())})

@@ -5,11 +5,20 @@ All vectorized per batch; usable on any (id, text) columns.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .corpus import LANG_WORDS
 from .extract_core import stable_u64
+
+# quality-feature token/punct definitions use EXPLICIT ASCII classes, not
+# str.split()/str.isalnum(): Python's Unicode whitespace/alnum sets cannot
+# be mirrored exactly in an RE2-based SQL oracle, while these classes mean
+# the same thing in Python re, Arrow and DuckDB (all RE2 semantics here)
+_QTOK_RE = re.compile(r"[^ \t\n\r\f\v]+")
+_QPUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 
 _EN_STOP = {
     "the", "and", "of", "a", "to", "in", "is", "was", "for", "on", "with",
@@ -61,10 +70,10 @@ def quality_batch(t: pa.Table, text_col: str = "text",
     texts = t[text_col].to_pylist()
     n_chars, n_tokens, punct_r, stop_r, distinct_r, mean_len, score = [], [], [], [], [], [], []
     for x in texts:
-        toks = x.lower().split()
+        toks = _QTOK_RE.findall(x.lower())
         nt = len(toks)
         nc = len(x)
-        np_ = sum(1 for ch in x if not ch.isalnum() and not ch.isspace())
+        np_ = len(_QPUNCT_RE.findall(x))
         sr = (sum(1 for tk in toks if tk in _EN_STOP) / nt) if nt else 0.0
         dr = (len(set(toks)) / nt) if nt else 0.0
         ml = (sum(len(tk) for tk in toks) / nt) if nt else 0.0

@@ -188,3 +188,42 @@ def test_literal_lexical_roundtrip_property():
         assert line2["line"].to_pylist() == line1["line"].to_pylist(), lex
 
     prop()
+
+
+def test_read_ntriples_empty_manifest_yields_empty_graph(tmp_path):
+    """Empty-dataset write → empty _MANIFEST: read must return an EMPTY
+    triples dataset, never fall back to slurping the directory (which
+    would read _MANIFEST itself and any stale .tmp debris)."""
+    out = str(tmp_path / "nt")
+    empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
+                                    "pred": pa.array([], pa.string()),
+                                    "obj": pa.array([], pa.string())}))
+    write_ntriples(empty, out)
+    # stale debris from a hypothetical crashed previous writer
+    (tmp_path / "nt" / ".tmp-deadbeef-1").write_text(
+        "<http://kgforge.example/entity/zz> <http://kgforge.example/pred/p> "
+        "<http://kgforge.example/entity/yy> .\n")
+    back = read_ntriples(out)
+    assert back.count() == 0
+    # (to_pandas() of a 0-row Dataset drops columns — assert on the schema)
+    assert back.schema().names == ["subj", "pred", "obj"]
+
+
+def test_make_literal_injective_for_ambiguous_lexicals():
+    """Engine-native literals built via make_literal must round-trip
+    write -> parse even when the lexical form is year-shaped or contains
+    the '^^' carriage separator."""
+    from kgforge.ntriples import make_literal
+
+    cases = [
+        ("hello", None), ("1984", None), ("a^^b", None),
+        ("x^^http://evil.example/t", None), ("1984", "gYear"),
+        ("3.14", "http://www.w3.org/2001/XMLSchema#decimal"),
+    ]
+    objs = [make_literal(lex, dt) for lex, dt in cases]
+    t = pa.table({"subj": ["e"] * len(objs), "pred": ["p"] * len(objs),
+                  "obj": objs})
+    parsed = parse_nt_batch(to_nt_lines(t))
+    assert parsed["obj"].to_pylist() == objs
+    # and the lexical forms survive a second serialization unchanged
+    assert to_nt_lines(parsed)["line"].to_pylist() == to_nt_lines(t)["line"].to_pylist()

@@ -13,3 +13,43 @@ def test_all_queries_match_oracle():
     failures = {k: msg for k, (ok, msg) in res.items() if not ok}
     assert not failures, f"oracle mismatches: {failures}"
     assert len(res) >= 20
+
+
+def test_text_queries_match_oracle_on_adversarial_documents(tmp_path):
+    """The text-query oracles must stay equivalent on inputs the driver
+    testdata never exercises: uppercase, consecutive/odd whitespace,
+    empty and whitespace-only text, heavy punctuation, non-ASCII."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_adv"
+    sf.mkdir()
+    for f in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        shutil.copy(f"/root/testdata/sf0.001/{f}.parquet", sf / f"{f}.parquet")
+    texts = [
+        "The Quick  Brown\tFox JUMPS over\nthe lazy dog",
+        "",
+        "   ",
+        "!!! ??? ... ;;; [brackets] {braces} (parens) ~tilde~ `tick`",
+        "the the the the and and of of is is",
+        "MiXeD CaSe TOKENS With THE AND OF stopwords",
+        "unicode: café naïve 中文文本 —dash—",
+        "a nbsp separated",  # non-breaking space: NOT a separator
+        "tabs\tand\nnewlines\rand\fformfeeds\vvertical",
+        "singleword",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["adv"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, sf / "documents.parquet")
+    res = run_all(str(sf), ["q_doc_token_counts", "q_doc_bpe_token_counts",
+                            "text_quality_scores", "q_doc_lang_stats"])
+    failures = {k: msg for k, (ok, msg) in res.items() if not ok}
+    assert not failures, f"oracle mismatches on adversarial text: {failures}"

@@ -42,3 +42,24 @@ def test_flagship_same_result_from_parquet(corpus_dir):
     a = run_flagship(read_pages(corpus_dir)).triples.take_all()
     b = run_flagship(rd.from_arrow(pages_table(200))).triples.take_all()
     assert a == b
+
+
+def test_documents_as_pages_adapter_feeds_extraction():
+    """SURVEY §3.3 adapter: the driver documents table reshaped to the
+    pages schema must flow through extract_docs via the raw-text fallback
+    (html is empty) with the text preserved."""
+    import pyarrow.compute as pc
+
+    from kgforge.kgqueries import documents_as_pages
+    from kgforge.steps.extract import extract_docs
+
+    pages = documents_as_pages("/root/testdata/sf0.001")
+    n_in = pages.count()
+    assert n_in > 0
+    assert set(pages.schema().names) == {"url", "warc_ts", "html", "text", "lang"}
+    docs = extract_docs(pages)
+    out = docs.take_all()
+    assert 0 < len(out) <= n_in
+    row = out[0]
+    assert row["url"].startswith("testdata://doc/")
+    assert len(row["extracted_text"]) > 0 and "html" not in row
