@@ -18,6 +18,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1, norms)
 
 
+def _driver_merge(part: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Merge per-batch partial top-k rows into the global per-query top-k.
+    The (-cosine, id) tie order here is the CONTRACT both brute-force and
+    IVF search share — IVF at nprobe=all is exact-equal to brute force
+    (and to the min-id SQL oracle) only because both funnel through this
+    single implementation."""
+    out = []
+    for _qi, grp in part.groupby("query_idx"):
+        g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
+
+
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dtype=np.float32) -> pd.DataFrame:
@@ -51,12 +65,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
         )
 
     part = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, grp in part.groupby("query_idx"):
-        g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
-        g["rank"] = range(1, len(g) + 1)
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
+    return _driver_merge(part, k, id_col)
 
 
 def train_centroids(ds, n_centroids: int = 16, sample_mod: int = 5,
@@ -86,6 +95,15 @@ def train_centroids(ds, n_centroids: int = 16, sample_mod: int = 5,
         ds.map_batches(pick, batch_format="pyarrow").take_all(),
         key=lambda r: r[id_col],
     )
+    if not sample:
+        # small tables can miss the 1/sample_mod hash entirely — fall back
+        # to sampling every row, capped (deterministic: sorted by id)
+        sample = sorted(
+            ds.select_columns([id_col, vec_col]).take_all(),
+            key=lambda r: r[id_col],
+        )[: max(4096, 16 * n_centroids)]
+    if not sample:
+        raise ValueError("train_centroids: dataset has no rows")
     mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -160,9 +178,4 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
         )
 
     part = pruned.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, grp in part.groupby("query_idx"):
-        g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
-        g["rank"] = range(1, len(g) + 1)
-        out.append(g)
-    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
+    return _driver_merge(part, k, id_col)

@@ -220,11 +220,9 @@ def gen_page_row(i: int, seed: int = 42, onto: Ontology | None = None) -> dict:
 # --- table / dataset builders ----------------------------------------------
 
 
-def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
-    """Plain pyarrow table of pages [start, start+n) — for tests and the
-    single-threaded reference emitter."""
-    onto = get_ontology(seed)
-    rows = [gen_page_row(i, seed, onto) for i in range(start, start + n)]
+def _rows_to_pages_table(rows: list[dict]) -> pa.Table:
+    """The ONE place the pages schema (FIXTURES.md §1) is spelled out —
+    both corpus sources build through it so they cannot drift."""
     return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -234,22 +232,20 @@ def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
+
+
+def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Plain pyarrow table of pages [start, start+n) — for tests and the
+    single-threaded reference emitter."""
+    onto = get_ontology(seed)
+    return _rows_to_pages_table([gen_page_row(i, seed, onto) for i in range(start, start + n)])
 
 
 def gen_pages_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
     """Ray `map_batches` source body: ids → pages rows (SURVEY §2.S2)."""
     ids = batch["id"].to_pylist()
     onto = get_ontology(seed)
-    rows = [gen_page_row(i, seed, onto) for i in ids]
-    return pa.table(
-        {
-            "url": pa.array([r["url"] for r in rows], pa.string()),
-            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
-            "html": pa.array([r["html"] for r in rows], pa.large_binary()),
-            "text": pa.array([r["text"] for r in rows], pa.string()),
-            "lang": pa.array([r["lang"] for r in rows], pa.string()),
-        }
-    )
+    return _rows_to_pages_table([gen_page_row(i, seed, onto) for i in ids])
 
 
 def pages_dataset(n: int, seed: int = 42, parallelism: int = -1):

@@ -145,14 +145,20 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, threshold: float = 0.5, 
         return empty
     cand = sorted({u for p in pairs for u in p})
     cand_arr = pa.array(cand, pa.string())
-    texts: dict[str, set] = {}
     fetched = str_ds.map_batches(
         lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.string()), value_set=cand_arr)),
         batch_format="pyarrow",
     )
+    # min-by-bytes per duplicated id (exact dedup skipped upstream):
+    # deterministic across block arrival orders — same rule as
+    # jaccard_pairs_profile / recompute_sigs / fetch_sigs
+    raw: dict[str, str] = {}
     for b in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for i, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[str(i)] = mk_shingles(txt, k)
+            key = str(i)
+            if key not in raw or txt.encode() < raw[key].encode():
+                raw[key] = txt
+    texts = {key: mk_shingles(txt, k) for key, txt in raw.items()}
     a_out, b_out, j_out = [], [], []
     for a, b in sorted(pairs):
         if a in texts and b in texts:
@@ -238,13 +244,29 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
 # --- embedding-cosine near-dup ---------------------------------------------
 
 
-def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95, seed: int = 11):
+def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95, seed: int = 11,
+                            dim: int | None = None):
     """Near-dup by embedding cosine: 16-bit random-hyperplane LSH bucket,
     exact cosine verification within bucket (two rotated hyperplane sets so
-    borderline pairs split across one bucket boundary still collide)."""
+    borderline pairs split across one bucket boundary still collide).
+    ``dim`` defaults to the dataset's vector width (read from the schema /
+    first row); the hyperplanes are a deterministic function of (seed, dim)
+    so every batch buckets identically."""
+    if dim is None:
+        f = ds.schema().base_schema.field(vec_col).type
+        if pa.types.is_fixed_size_list(f):
+            dim = f.list_size
+        else:
+            first = ds.limit(1).take_all()
+            if not first:
+                return pa.table(
+                    {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            dim = len(first[0][vec_col])
     rng = np.random.RandomState(seed)
-    planes1 = rng.randn(64, 16).astype(np.float32)
-    planes2 = rng.randn(64, 16).astype(np.float32)
+    planes1 = rng.randn(dim, 16).astype(np.float32)
+    planes2 = rng.randn(dim, 16).astype(np.float32)
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = [str(x) for x in batch[id_col].to_pylist()]
@@ -263,7 +285,7 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
             {
                 "band_key": pa.array(bks, pa.string()),
                 "doc": pa.array(oids, pa.string()),
-                "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32(), 64)),
+                "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32(), dim)),
             }
         )
 

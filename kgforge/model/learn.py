@@ -33,13 +33,6 @@ def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
 
 
-def _rename(ds, mapping: dict[str, str]):
-    return ds.map_batches(
-        lambda t, m=mapping: t.rename_columns([m.get(c, c) for c in t.column_names]),
-        batch_format="pyarrow",
-    )
-
-
 def pred_freq(triples_ds):
     """K2: (pred, n_facts)."""
     out = triples_ds.groupby("pred").aggregate(Count(alias_name="n_facts"))

@@ -41,18 +41,31 @@ class M1Learner:
     (every entity degree-1 per drawn fact)."""
 
     name = "m1"
-    _TABLES = ("type_dist", "pred_freq", "domain_range")
 
     def learn(self, triples_ds, id_type: dict) -> dict[str, pd.DataFrame]:
-        from .learn import learn_model
+        # compute ONLY the M1 tables — learn_model would also run the
+        # degree histograms and pred_stats (≈6 extra distributed
+        # aggregation passes) just to throw them away
+        from .learn import _ensure_cols, domain_range, pred_freq, type_dist
 
-        full = learn_model(triples_ds, id_type)
-        out = {k: full[k] for k in self._TABLES}
+        def pdf(x, cols):
+            df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
+            return _ensure_cols(df, cols)
+
+        out = {
+            "pred_freq": pdf(pred_freq(triples_ds),
+                             {"pred": "str", "n_facts": "int64"}),
+            "type_dist": pdf(type_dist(triples_ds, id_type),
+                             {"type_set": "str", "n_entities": "int64"}),
+            "domain_range": pdf(domain_range(triples_ds, id_type),
+                                {"pred": "str", "subj_type": "str",
+                                 "obj_type": "str", "n_facts": "int64"}),
+        }
         # degenerate degree histograms (all degree 1) so the shared
         # synthesizer can run on an M1 model
         import itertools
 
-        preds = full["pred_freq"]["pred"].tolist()
+        preds = out["pred_freq"]["pred"].tolist()
         deg = pd.DataFrame(
             [
                 {"pred": p, "direction": d, "degree": 1, "n_entities": 1}

@@ -104,15 +104,20 @@ def mine_rules(
     pairs = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
         pair_rows, batch_format="pyarrow"
     )
-    supp = (
+    from .learn import _ensure_cols
+
+    supp = _ensure_cols(
         pairs.groupby("pkey")
         .map_groups(cooccur, batch_format="pyarrow")
         .groupby(["body_pred", "head_pred", "inverse"])
         .aggregate(Sum("n", alias_name="support"))
-        .to_pandas()
+        .to_pandas(),
+        {"body_pred": "str", "head_pred": "str", "inverse": "bool",
+         "support": "int64"},
     )
-    n_facts = (
-        triples_ds.groupby("pred").aggregate(Count(alias_name="n_pairs")).to_pandas()
+    n_facts = _ensure_cols(
+        triples_ds.groupby("pred").aggregate(Count(alias_name="n_pairs")).to_pandas(),
+        {"pred": "str", "n_pairs": "int64"},
     )
     body_n = dict(zip(n_facts["pred"], n_facts["n_pairs"]))
     rows = []

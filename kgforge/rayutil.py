@@ -6,14 +6,20 @@ import pyarrow as pa
 
 
 def ensure_schema(ds, schema: pa.Schema):
-    """Coalesce schema-less empty blocks to the given schema.
+    """Pin the DATASET-LEVEL schema after a hash shuffle.
 
     Ray 2.49's hash-shuffle operators emit EMPTY blocks with no schema
     for empty partitions ("Operator produced a RefBundle with a different
     schema" warnings); a downstream pyarrow/acero join then fails with
-    "No match ... for key field reference" when such a block reaches it.
-    Mapping every block through a schema-pinning identity fixes the
-    lineage at negligible cost."""
+    "No match ... for key field reference" when it plans against the
+    resulting schema. Mapping through a schema-pinning identity fixes
+    what the PLANNER sees at negligible cost.
+
+    CAVEAT: map_batches never invokes the fn for a 0-row block (the batch
+    iterator yields nothing), so the empty BLOCKS themselves stay
+    schema-less on disk/in the object store. Code that concatenates raw
+    block tables (driver combines via ``to_arrow_refs``) must drop
+    0-row tables itself before ``pa.concat_tables``."""
 
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

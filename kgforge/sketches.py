@@ -56,7 +56,10 @@ class HllDistinct(AggregateFnV2):
             col = block[self.get_target_column()].to_pylist()
         else:  # pandas
             col = block[self.get_target_column()].tolist()
-        return _hll_add_values(_hll_zero(), (v for v in col if v is not None))
+        # v == v filters float NaN: pandas blocks surface nulls as NaN
+        # (not None), which would otherwise count as a distinct value on
+        # the pandas path only — same data, different estimate per format
+        return _hll_add_values(_hll_zero(), (v for v in col if v is not None and v == v))
 
     def combine(self, current_accumulator: np.ndarray, new: np.ndarray) -> np.ndarray:
         return np.maximum(current_accumulator, new)

@@ -43,34 +43,31 @@ def exact_dedup_join(ds, num_partitions: int = 8):
     hash join brings the winner keys back to the full rows.
 
     Ties (byte-identical rows — _sort_key includes the content sha) are
-    broken by a per-row suffix appended to the key; the surviving row's
-    CONTENT is deterministic because tied rows are identical. The suffix
-    is a DETERMINISTIC function of the batch (digest of its key column +
-    row index), never a uuid: if a node holding blocks of the
-    materialized keyed dataset dies after the Max aggregate, Ray's
-    lineage reconstruction re-runs add_key on the same input block and
-    MUST reproduce the same keys, or the winners join silently drops
-    every row of the affected urls. The keyed dataset is materialized so
-    the aggregate pass and the join see identical row keys."""
-    import hashlib
-
+    broken by a per-row suffix appended to the key, so exactly ONE row
+    survives per url_norm. The suffix must be (a) UNIQUE across the whole
+    dataset — a content-derived tag collides for byte-identical BLOCKS
+    (the re-ingested-dump case, the classic dedup input), leaving every
+    copy sharing the max key and the join keeping them all — and (b)
+    lineage-STABLE — a uuid per task re-rolls on Ray block
+    reconstruction, and the winners join then silently drops the
+    affected urls. A driver-enumerated block index satisfies both: the
+    materialized block list is fixed on the driver, and re-keying block
+    i from its (reconstructible) object ref reproduces the same keys."""
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Max
 
-    def add_key(t: pa.Table) -> pa.Table:
+    @ray.remote
+    def _key_block(t: pa.Table, bid: int) -> pa.Table:
         base = _sort_key(t)
-        flat = base.combine_chunks() if isinstance(base, pa.ChunkedArray) else base
-        h = hashlib.blake2b(digest_size=8)
-        for buf in flat.buffers():
-            if buf is not None:
-                h.update(buf)
-        tag = h.hexdigest()
-        rid = pa.array([f"{tag}{i:010d}" for i in range(t.num_rows)], pa.string())
+        rid = pa.array([f"{bid:010d}{i:010d}" for i in range(t.num_rows)], pa.string())
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
     from ..rayutil import ensure_schema
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    refs = ds.materialize().to_arrow_refs()
+    keyed = rd.from_arrow_refs([_key_block.remote(r, i) for i, r in enumerate(refs)])
     winners = (
         keyed.select_columns(["url_norm", "__dedup_key"])
         .groupby("url_norm")
@@ -118,6 +115,14 @@ def exact_dedup(ds, force_path: str | None = None):
     import numpy as np
 
     from ..extract_core import stable_u64
+
+    # Both plans read the input MORE THAN ONCE (count probe + hash pass +
+    # filter pass, or key pass + join). Pin the blocks first: a lazy
+    # upstream (e.g. a plan.py chain ending in html extraction) would
+    # otherwise re-execute its whole pipeline per pass — measured 4-5×
+    # the extraction cost. materialize() on an already-materialized
+    # dataset is free, so flagship/run callers pay nothing extra.
+    ds = ds.materialize()
 
     if force_path != "gather":
         limit = int(os.environ.get("KGFORGE_DEDUP_JOIN_ROWS", EXACT_DEDUP_JOIN_ROWS))

@@ -39,6 +39,16 @@ class SvoLinker:
         )
         self.bank = build_pattern_bank()
         self.screen = build_screen_regex()  # sound fast-path (nlp_core)
+        # canonicalize AT EMISSION (reference emitter step 6 keys triples
+        # by canonical ids): two raw ids that merge under sameAs would
+        # otherwise slip past the per-doc dedup below as distinct rows,
+        # and the materialize combiner's (s,p,o,url)-distinct precondition
+        # would silently break when those rows straddle a batch boundary.
+        # Derived from the broadcast resource, once per actor.
+        from .materialize import canonical_map_from_same_as
+
+        cmap = canonical_map_from_same_as(self.res.same_as, list(self.res.id_type))
+        self.cmap = {k: v for k, v in cmap.items() if k != v}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url_norm"].to_pylist()
@@ -65,6 +75,8 @@ class SvoLinker:
                 if linked is None:
                     continue
                 s_id, pred, obj_id, score = linked
+                s_id = self.cmap.get(s_id, s_id)
+                obj_id = self.cmap.get(obj_id, obj_id)
                 if (s_id, pred, obj_id) in seen_spo:
                     continue
                 seen_spo.add((s_id, pred, obj_id))

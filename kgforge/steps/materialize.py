@@ -59,10 +59,14 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     per (s,p,o) with partial n_sources + min url.
 
     PRECONDITION: (s,p,o,url) is globally distinct in the input. The
-    SvoLinker guarantees it by deduping (s,p,o) per doc at emission (a
-    doc's url appears in exactly one upstream row, and downstream
-    re-chunking can otherwise split a doc's repeated triples across
-    batch boundaries, double-counting its url in n_sources)."""
+    SvoLinker guarantees it by deduping CANONICAL (s,p,o) per doc at
+    emission (canonicalization happens inside the linker, so a sameAs
+    merge cannot re-create duplicate quads afterwards; a doc's url
+    appears in exactly one upstream row, and downstream re-chunking can
+    otherwise split a doc's repeated triples across batch boundaries,
+    double-counting its url in n_sources). Callers whose input cannot
+    guarantee this must pass ``quads_distinct=False`` to
+    materialize_triples, which inserts a global distinct first."""
     if t.num_rows == 0:
         return pa.table(
             {
@@ -90,9 +94,18 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     )
 
 
-def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000):
+def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000,
+                        quads_distinct: bool = True):
     """E6+E7+F1: linked triples → final distinct sorted graph
     (subj, pred, obj, n_sources, first_url).
+
+    ``quads_distinct=False`` inserts a global (s,p,o,url) distinct (one
+    extra shuffle of thin key rows) for inputs that cannot guarantee the
+    combiner's precondition — e.g. raw linked rows canonicalized OUTSIDE
+    the linker, where a sameAs merge can produce the same quad in two
+    different blocks and Sum would double-count its url in n_sources.
+    The flagship path guarantees the precondition (SvoLinker emits
+    canonical per-doc-distinct triples) and keeps the default.
 
     The aggregate is materialized (it is the final product; the sort
     would materialize it anyway). When the distinct-triple count is
@@ -105,6 +118,28 @@ def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000):
     distributed branch."""
     import ray
 
+    if not quads_distinct:
+        from ray.data.aggregate import Count
+
+        from ..rayutil import ensure_schema
+
+        quads = linked_ds.map_batches(
+            # within-batch distinct first so the shuffle moves unique
+            # quads per batch, not every raw row
+            lambda t: t.select(["subj_id", "pred", "obj_id", "url_norm"]).group_by(
+                ["subj_id", "pred", "obj_id", "url_norm"]
+            ).aggregate([]),
+            batch_format="pyarrow",
+        ).groupby(["subj_id", "pred", "obj_id", "url_norm"]).aggregate(
+            Count(alias_name="__n")  # distinct via groupby; count discarded
+        )
+        # ensure_schema also PROJECTS to the four quad columns (drops __n)
+        linked_ds = ensure_schema(
+            quads,
+            pa.schema([("subj_id", pa.string()), ("pred", pa.string()),
+                       ("obj_id", pa.string()), ("url_norm", pa.string())]),
+        )
+
     partial = linked_ds.map_batches(_partial_agg, batch_format="pyarrow").materialize()
     if partial.count() <= small_sort_threshold:
         # Final combine on the driver: the partials ARE the two-level
@@ -114,8 +149,13 @@ def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000):
         # overhead (~2-3 s in Ray 2.49 local mode, BASELINE.md log).
         # Gathering them is the blessed small-side pattern; semantics
         # are identical and equality-tested vs the distributed path.
-        refs = partial.to_arrow_refs()
-        t = pa.concat_tables(ray.get(refs)) if refs else _partial_agg(
+        # drop 0-row blocks before concat: map_batches never calls the fn
+        # for an empty block (the batch iterator yields nothing), so a
+        # schema-less empty shuffle block sails through BOTH ensure_schema
+        # and _partial_agg untouched and concat_tables then rejects the
+        # 0-column schema
+        tabs = [b for b in ray.get(partial.to_arrow_refs()) if b.num_rows > 0]
+        t = pa.concat_tables(tabs) if tabs else _partial_agg(
             pa.table({"subj_id": pa.array([], pa.string()),
                       "pred": pa.array([], pa.string()),
                       "obj_id": pa.array([], pa.string()),

@@ -52,3 +52,25 @@ def test_topk_rank_is_deterministic(emb_ds, qvecs):
     a = brute_force_topk(emb_ds, qvecs, k=10)
     b = brute_force_topk(emb_ds, qvecs, k=10)
     assert a[["query_idx", "vec_id", "rank"]].equals(b[["query_idx", "vec_id", "rank"]])
+
+
+def test_train_centroids_tiny_table_falls_back():
+    """A table too small for the hash sample to hit anything must still
+    train a quantizer (sample-everything fallback), not crash in numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.ann import train_centroids
+
+    rng = np.random.RandomState(0)
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([rng.randn(8).tolist() for _ in range(3)],
+                              pa.list_(pa.float32(), 8)),
+    })
+    cent = train_centroids(rd.from_arrow(t), n_centroids=2)
+    assert cent.shape == (2, 8)
+    # deterministic across calls
+    cent2 = train_centroids(rd.from_arrow(t), n_centroids=2)
+    assert np.array_equal(cent, cent2)

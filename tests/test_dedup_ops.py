@@ -158,3 +158,23 @@ def test_jaccard_profile_duplicate_ids_deterministic():
     assert rows, f"candidate pair (a, b) not found: {outs[0]}"
     expect = _jac(_sh("A " + base, 3), _sh("A " + base + " tailword", 3))
     assert rows[0]["exact_jaccard"] == round(expect, 4)
+
+
+def test_embedding_neardup_generic_dim():
+    """The operator advertises a generic (id, vector) signature — a
+    non-64-dim embedding column must work (dim read from the schema)."""
+    import numpy as np
+
+    from kgforge.dedup_ops import embedding_neardup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(128).astype(np.float32)
+    vecs = [base, base + rng.randn(128).astype(np.float32) * 0.01,
+            rng.randn(128).astype(np.float32)]
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32(), 128)),
+    })
+    out = embedding_neardup_pairs(rd.from_arrow(t), "vec_id", "embedding",
+                                  threshold=0.95).to_pandas()
+    assert {(r.a, r.b) for r in out.itertuples()} == {("1", "2")}

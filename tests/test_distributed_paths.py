@@ -52,3 +52,19 @@ def test_neardup_paths_agree_without_exact_dedup(docs):
     driver = neardup_drop_set(docs, force_path="driver")
     dist = neardup_drop_set(docs, force_path="distributed")
     assert dist == driver
+
+
+def test_exact_dedup_join_byte_identical_blocks(docs):
+    """Re-ingested dump: the SAME blocks appear twice. A content-derived
+    tie-break tag collides across byte-identical blocks and the join then
+    keeps every copy; the block-index suffix must keep exactly one row
+    per url_norm."""
+    import pyarrow as pa
+
+    blocks = [pa.concat_tables([b for b in
+               docs.iter_batches(batch_size=4096, batch_format="pyarrow")])]
+    doubled = rd.from_arrow(blocks + blocks)  # two byte-identical blocks
+    out = exact_dedup(doubled, force_path="join").to_pandas()
+    assert out["url_norm"].is_unique
+    base = exact_dedup(docs, force_path="gather").to_pandas()
+    assert sorted(out["url_norm"]) == sorted(base["url_norm"])

@@ -210,3 +210,21 @@ def test_m1_learner_empty_graph():
     assert len(model["pred_freq"]) == 0
     assert len(model["degree_out"]) == 0 and len(model["degree_in"]) == 0
     assert list(model["degree_out"].columns) == ["pred", "direction", "degree", "n_entities"]
+
+
+def test_mine_rules_empty_graph():
+    """All-filtered corpus → empty graph is a legal input everywhere in
+    model/: mine_rules must return an empty frame, not KeyError (this is
+    the default CLI tier: python -m kgforge.model learn --tier m3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.model.rules import mine_rules
+
+    empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
+                                    "pred": pa.array([], pa.string()),
+                                    "obj": pa.array([], pa.string())}))
+    out = mine_rules(empty, min_support=3, min_confidence=0.3)
+    assert len(out) == 0
+    assert list(out.columns) == ["body_pred", "head_pred", "inverse",
+                                 "support", "confidence"]

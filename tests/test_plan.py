@@ -35,3 +35,18 @@ def test_user_udf_step():
 def test_unknown_op_raises():
     with pytest.raises(ValueError, match="unknown op"):
         plan_from_config([{"op": "nope"}])
+
+
+def test_unknown_param_raises():
+    """A typo'd config key must raise, not silently apply the default
+    (e.g. 'lang' for 'langs' would silently filter to English)."""
+    import pytest
+
+    from kgforge.plan import plan_from_config
+
+    with pytest.raises(ValueError, match="unknown parameter"):
+        plan_from_config([{"op": "lang_filter", "lang": ["de"]}])
+    with pytest.raises(ValueError, match="unknown parameter"):
+        plan_from_config([{"op": "limit", "count": 5}])
+    # correct keys still build
+    plan_from_config([{"op": "lang_filter", "langs": ["de"]}, {"op": "limit", "n": 5}])

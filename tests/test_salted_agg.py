@@ -94,3 +94,27 @@ def test_driver_combine_equals_distributed_path():
     pd.testing.assert_frame_equal(
         small[cols].reset_index(drop=True), dist[cols].reset_index(drop=True)
     )
+
+
+def test_materialize_distinct_quads_block_invariant():
+    """A sameAs merge OUTSIDE the linker can produce the same
+    (s,p,o,url) quad in two different blocks; quads_distinct=False must
+    yield n_sources=1 regardless of block layout (Sum over partials
+    would double-count the straddled url)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.steps.materialize import apply_canonical_map, materialize_triples
+
+    t = pa.table({
+        "url_norm": ["u1", "u1"],
+        "subj_id": ["eTWIN", "eBASE"],
+        "pred": ["p", "p"],
+        "obj_id": ["eX", "eX"],
+    })
+    for parts in (1, 2):
+        ds = rd.from_arrow(t).repartition(parts)
+        mapped = apply_canonical_map(ds, {"eTWIN": "eBASE"})
+        out = materialize_triples(mapped, quads_distinct=False).to_pandas()
+        assert out["n_sources"].tolist() == [1], f"parts={parts}: {out}"
+        assert out["subj"].tolist() == ["eBASE"]

@@ -33,3 +33,20 @@ def test_hll_aggregate_in_ray():
     out = ds.aggregate(HllDistinct("k", alias_name="nd"))
     est = out["nd"]
     assert abs(est - 1200) / 1200 < 0.05, est
+
+
+def test_hll_pandas_nan_equals_arrow_null():
+    """NaN on pandas-format blocks is a NULL, not a distinct value — the
+    same logical data must give the same estimate in both block formats."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.sketches import HllDistinct
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, np.nan, np.nan, np.nan]})
+    a = rd.from_pandas(pdf).aggregate(HllDistinct("v"))["approx_distinct(v)"]
+    t = pa.table({"v": pa.array([1.0, 2.0, None, None, None], pa.float64())})
+    b = rd.from_arrow(t).aggregate(HllDistinct("v"))["approx_distinct(v)"]
+    assert a == b == 2
