@@ -87,16 +87,23 @@ def jaccard_pairs_profile(ds, id_col: str, text_col: str, threshold: float = 0.7
         lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_arr)),
         batch_format="pyarrow",
     )
-    # blocks arrive in nondeterministic order: when an id is duplicated with
-    # differing texts (exact dedup skipped upstream), pick the min-by-bytes
-    # text — the same deterministic rule recompute_sigs uses
-    raw: dict[str, str] = {}
+    # duplicate ids (exact dedup skipped upstream): est_jaccard above came
+    # from recompute_sigs, which resolves a duplicated id to the text with
+    # the min-by-bytes SIGNATURE — pick exact_jaccard's text by the SAME
+    # ordering, or one row could pair an estimate from text T1 with an
+    # exact value from text T2 of the same id
+    from .dedup_core import minhash_signature
+
+    raw: dict[str, tuple[bytes, str]] = {}
     for bt in fetched.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for i, txt in zip(bt[id_col].to_pylist(), bt[text_col].to_pylist()):
             key = str(i)
-            if key not in raw or txt.encode() < raw[key].encode():
-                raw[key] = txt
-    texts = {key: mk_shingles(txt, k) for key, txt in raw.items()}
+            # default shingle size, NOT the param k: the est path's
+            # signatures (_sig_rows) always use the default
+            sig_b = minhash_signature(mk_shingles(txt)).astype("int64").tobytes()
+            if key not in raw or sig_b < raw[key][0]:
+                raw[key] = (sig_b, txt)
+    texts = {key: mk_shingles(txt, k) for key, (_sb, txt) in raw.items()}
     return pa.table(
         {
             "a": pa.array([a for a, _, _ in rows], pa.string()),
@@ -298,7 +305,12 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
         vecs = group["vec"].to_pylist()
         vec_of: dict[str, np.ndarray] = {}
         for d, v in zip(docs, vecs):
-            vec_of[d] = np.asarray(v, dtype=np.float32)
+            arr = np.asarray(v, dtype=np.float32)
+            # duplicate ids (exact dedup skipped): min-by-bytes pick so the
+            # verified cosine is deterministic across group row orders —
+            # the same rule every text-based sibling applies
+            if d not in vec_of or arr.tobytes() < vec_of[d].tobytes():
+                vec_of[d] = arr
         members = sorted(vec_of)
         if len(members) < 2:
             return empty

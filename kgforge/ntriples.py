@@ -44,8 +44,19 @@ def make_literal(lex: str, dt: str | None = None) -> str:
         if is_year or "^^" in lex:
             return f"lit:{lex}^^{_PLAIN_DT}"
         return f"lit:{lex}"
-    if dt in (_XSD_GYEAR, "gYear") and is_year:
-        return f"lit:{lex}"  # engine-native gYear form (serializer re-types)
+    if dt in (_XSD_GYEAR, "gYear"):
+        if is_year:
+            return f"lit:{lex}"  # engine-native gYear form (serializer re-types)
+        raise ValueError(
+            f"make_literal: gYear datatype requires a 4-digit lexical, got {lex!r}"
+        )
+    if ":" not in dt or not _DT_IRI.match(dt):
+        # a short name like 'decimal' would fail obj_term's IRI-shape check
+        # on write and end up INSIDE the literal's lexical form — reject
+        # here instead of silently emitting a non-round-trippable token
+        raise ValueError(
+            f"make_literal: datatype must be an absolute IRI (got {dt!r})"
+        )
     return f"lit:{lex}^^{dt}"
 
 
@@ -229,14 +240,22 @@ def read_ntriples(path: str, base: str = DEFAULT_BASE):
                 os.path.join(path, f) for f in os.listdir(path) if f.endswith(".nt")
             )
         if not parts:
-            # an empty part list (empty-dataset write, or a bare directory
-            # with no .nt files) means an EMPTY graph — falling back to
-            # read_text(dir) here would slurp _MANIFEST itself plus any
-            # .tmp- debris a crashed writer left, resurrecting stale triples
-            return rd.from_arrow(
-                pa.table({"subj": pa.array([], pa.string()),
-                          "pred": pa.array([], pa.string()),
-                          "obj": pa.array([], pa.string())})
+            if os.path.isfile(manifest):
+                # an empty _MANIFEST is POSITIVE evidence of an empty graph
+                # (an empty-dataset write) — falling back to read_text(dir)
+                # would slurp _MANIFEST itself plus any .tmp- debris a
+                # crashed writer left, resurrecting stale triples
+                return rd.from_arrow(
+                    pa.table({"subj": pa.array([], pa.string()),
+                              "pred": pa.array([], pa.string()),
+                              "obj": pa.array([], pa.string())})
+                )
+            # no manifest AND no *.nt parts: this directory was not written
+            # by write_ntriples — a silent empty graph here would turn a
+            # mis-targeted path or foreign-named parts into data loss
+            raise FileNotFoundError(
+                f"read_ntriples: no _MANIFEST and no *.nt parts in {path!r}; "
+                "pass explicit file paths for foreign-named N-Triples files"
             )
         ds = rd.read_text(parts)
     else:

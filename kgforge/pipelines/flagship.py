@@ -3,8 +3,9 @@
 pages → url_norm → exact dedup (shuffle: url_norm) → lang filter →
 extract_text (stateless map_batches, html dropped) → minhash-LSH near-dup
 (shuffle: band_key; union-find on driver) → SvoLinker actor pool
-(broadcast gazetteer) → canonical map (broadcast map join) → two-level
-materialize (shuffle: subj,pred,obj) → deterministic sort.
+(broadcast gazetteer; emits CANONICAL ids — the sameAs map is applied
+inside the actor, not as a separate pass) → two-level materialize
+(shuffle: subj,pred,obj) → deterministic sort.
 
 ``run_flagship`` returns lazy Datasets; consume with write_parquet /
 to_pandas / iter_batches. The extracted-docs Dataset is materialized once
@@ -24,11 +25,7 @@ from ..ontology import get_ontology
 from ..steps.dedup import apply_drop_set, neardup_drop_set
 from ..steps.extract import add_url_norm, exact_dedup, extract_docs, lang_filter
 from ..steps.link import entity_prior, link_docs
-from ..steps.materialize import (
-    apply_canonical_map,
-    canonical_map_from_same_as,
-    materialize_triples,
-)
+from ..steps.materialize import canonical_map_from_same_as, materialize_triples
 
 
 @dataclass
@@ -69,7 +66,10 @@ def run_flagship(
     res = res.with_prior(entity_prior(kept, res))
     resource_ref = ray.put(res)  # broadcast once; actors ray.get in __init__
     linked = link_docs(kept, resource_ref=resource_ref, concurrency=link_concurrency)
+    # SvoLinker canonicalizes ids AT EMISSION (from the same resource's
+    # sameAs edges), so no apply_canonical_map pass runs here — linked
+    # rows already carry canonical ids; cmap is exported for the result
+    # surface (kg_canonical_map) only
     cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))
-    canon = apply_canonical_map(linked, cmap)
-    triples = materialize_triples(canon)
+    triples = materialize_triples(linked)
     return FlagshipResult(docs, kept, triples, drop, cmap)

@@ -29,6 +29,27 @@ def ensure_schema(ds, schema: pa.Schema):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def drop_empty_blocks(ds):
+    """Physically remove 0-row blocks from a (materialized) Dataset.
+
+    The schema-less empty blocks Ray 2.49 hash shuffles emit crash a
+    downstream acero hash join even when ``ensure_schema`` has pinned the
+    dataset-level schema, because the empty BLOCKS themselves still reach
+    the join (map_batches never touches 0-row blocks). Filtering by BLOCK
+    METADATA costs no data movement — num_rows is driver-side metadata;
+    the block payloads are never fetched."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, md in bundle.blocks
+        if md.num_rows != 0
+    ]
+    return rd.from_arrow_refs(refs) if refs else mat
+
+
 def sever_plan(ds):
     """Rebuild a (materialized) Dataset from its raw Arrow block refs,
     discarding the logical plan.

@@ -592,22 +592,16 @@ def q_events_json(sf_dir: str):
     """,
 )
 def q_doc_token_counts(sf_dir: str):
+    # the ONE token-count implementation (kgforge.textops.token_count_ds,
+    # pure RE2 \S+ on raw text) — a local re-implementation here drifted
+    # from it once already (a unicode pre-trim that diverged on \v/NBSP)
+    from .textops import token_count_ds
+
     ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    return ds.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tokens": pc.cast(
-                    pc.count_substring_regex(
-                        pc.utf8_trim_whitespace(t["text"]), pattern=r"\S+"
-                    ),
-                    pa.int64(),
-                ),
-                "n_chars": t["n_chars"],
-            }
-        ).filter(pc.greater(t["n_chars"], 0)),
-        batch_format="pyarrow",
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 0)), batch_format="pyarrow"
     )
+    return token_count_ds(ds, "text").drop_columns(["text"])
 
 
 @query(
@@ -1019,7 +1013,9 @@ def q_events_asof_last_signup(sf_dir: str):
       SELECT doc_id,
              text,
              length(text) AS nc,
-             regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f\\v]+') AS tk
+             regexp_extract_all(translate(text,
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               '[^ \\t\\n\\r\\f\\v]+') AS tk
       FROM documents
     ), feats AS (
       SELECT doc_id,

@@ -152,11 +152,7 @@ def run_stage2(out: str, seed: int) -> int:
     from .steps.extract import exact_dedup
     from .steps.ledger import atomic_write_parquet, current_epoch, ledger_row, write_ledger_row
     from .steps.link import link_docs
-    from .steps.materialize import (
-        apply_canonical_map,
-        canonical_map_from_same_as,
-        materialize_triples,
-    )
+    from .steps.materialize import materialize_triples
 
     from .steps.ledger import completed_partitions
 
@@ -192,9 +188,10 @@ def run_stage2(out: str, seed: int) -> int:
     from .steps.link import entity_prior
 
     res = res.with_prior(entity_prior(kept, res))
+    # SvoLinker emits canonical ids (sameAs applied in the actor) — no
+    # separate apply_canonical_map pass, same as run_flagship
     linked = link_docs(kept, resource_ref=ray.put(res))
-    cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))
-    triples = materialize_triples(apply_canonical_map(linked, cmap)).materialize()
+    triples = materialize_triples(linked).materialize()
     n_triples = triples.count()
     atomic_write_parquet(triples, os.path.join(out, "triples"))
     model = learn_model(triples, res.id_type)

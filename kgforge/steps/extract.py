@@ -18,15 +18,34 @@ def add_url_norm(batch: pa.Table) -> pa.Table:
 
 def _sort_key(t: pa.Table) -> pa.Array:
     """Total-order key for 'newest crawl wins': zero-padded µs timestamp
-    concatenated with the raw url (deterministic tie-break), then the
-    content sha when available — so two rows tie ONLY when (warc_ts, url,
-    content) are all equal, i.e. byte-identical duplicate pages. String-max
-    of this key == max (warc_ts, url, sha) tuple."""
+    concatenated with the raw url (deterministic tie-break), then a
+    content digest — so two rows tie ONLY when (warc_ts, url, content)
+    are all equal, i.e. byte-identical duplicate pages. String-max of
+    this key == max (warc_ts, url, content-digest) tuple.
+
+    The digest is ``text_sha256`` when extraction already computed it;
+    for pre-extraction inputs (exact dedup placed before extract_text,
+    e.g. via plan_from_config) it falls back to hashing the html/text
+    payload, so rows tying on (warc_ts, url) with DIFFERENT content are
+    still resolved by content — identically in the gather and join paths
+    — rather than by physical row order."""
+    import hashlib
+
     ts = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
     ts_pad = pc.utf8_lpad(ts, 20, "0")
     key = pc.binary_join_element_wise(ts_pad, t["url"], "|")
     if "text_sha256" in t.column_names:
-        key = pc.binary_join_element_wise(key, t["text_sha256"], "|")
+        return pc.binary_join_element_wise(key, t["text_sha256"], "|")
+    content_col = next((c for c in ("html", "text") if c in t.column_names), None)
+    if content_col is not None:
+        digests = [
+            hashlib.blake2b(
+                v if isinstance(v, bytes) else ("" if v is None else v).encode(),
+                digest_size=16,
+            ).hexdigest()
+            for v in t[content_col].to_pylist()
+        ]
+        key = pc.binary_join_element_wise(key, pa.array(digests, pa.string()), "|")
     return key
 
 
@@ -64,9 +83,11 @@ def exact_dedup_join(ds, num_partitions: int = 8):
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
-    from ..rayutil import ensure_schema
+    from ..rayutil import drop_empty_blocks
 
     refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return ds
     keyed = rd.from_arrow_refs([_key_block.remote(r, i) for i, r in enumerate(refs)])
     winners = (
         keyed.select_columns(["url_norm", "__dedup_key"])
@@ -74,12 +95,11 @@ def exact_dedup_join(ds, num_partitions: int = 8):
         .aggregate(Max("__dedup_key", alias_name="__dedup_key"))
     )
     # hash-shuffle aggregates emit schema-less EMPTY blocks for empty
-    # partitions (Ray 2.49); pin the schema or the join dies with
-    # "No match ... for key field reference" (see rayutil.ensure_schema)
-    winners = ensure_schema(
-        winners,
-        pa.schema([("url_norm", pa.string()), ("__dedup_key", pa.string())]),
-    )
+    # partitions (Ray 2.49) and those blocks CRASH the acero hash join
+    # ("No match ... for key field reference") — pinning the dataset-level
+    # schema is not enough because map_batches never touches 0-row blocks;
+    # they must be physically removed (metadata-only filter, no fetch)
+    winners = drop_empty_blocks(winners)
     out = keyed.join(
         winners,
         join_type="inner",

@@ -13,12 +13,17 @@ import pyarrow.compute as pc
 from .corpus import LANG_WORDS
 from .extract_core import stable_u64
 
-# quality-feature token/punct definitions use EXPLICIT ASCII classes, not
-# str.split()/str.isalnum(): Python's Unicode whitespace/alnum sets cannot
-# be mirrored exactly in an RE2-based SQL oracle, while these classes mean
-# the same thing in Python re, Arrow and DuckDB (all RE2 semantics here)
+# quality-feature token/punct/case definitions use EXPLICIT ASCII
+# classes, not str.split()/str.isalnum()/str.lower(): Python's Unicode
+# whitespace/alnum sets and special case mappings (İ → i+combining-dot in
+# Python vs i in DuckDB) cannot be mirrored exactly in an RE2-based SQL
+# oracle, while these constructs mean the same thing in Python re, Arrow
+# and DuckDB (RE2 semantics + 1:1 ASCII translate) on ANY input
 _QTOK_RE = re.compile(r"[^ \t\n\r\f\v]+")
 _QPUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
 
 _EN_STOP = {
     "the", "and", "of", "a", "to", "in", "is", "was", "for", "on", "with",
@@ -70,7 +75,7 @@ def quality_batch(t: pa.Table, text_col: str = "text",
     texts = t[text_col].to_pylist()
     n_chars, n_tokens, punct_r, stop_r, distinct_r, mean_len, score = [], [], [], [], [], [], []
     for x in texts:
-        toks = _QTOK_RE.findall(x.lower())
+        toks = _QTOK_RE.findall(x.translate(_ASCII_LOWER))
         nt = len(toks)
         nc = len(x)
         np_ = len(_QPUNCT_RE.findall(x))
@@ -141,12 +146,16 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
 
 
 def token_count_ds(ds, text_col: str = "text", out_col: str = "n_tokens"):
-    """Whitespace token count, fully vectorized (Arrow regex kernel)."""
+    """Whitespace token count, fully vectorized (Arrow regex kernel).
+    Counts RE2 ``\\S+`` runs on the RAW text — no pre-trim: Arrow's
+    utf8_trim_whitespace strips UNICODE whitespace (\\v, NBSP) that RE2's
+    \\S considers non-space, which would shift counts vs a pure-RE2
+    oracle on texts with such chars at the boundaries."""
     return ds.map_batches(
         lambda t: t.append_column(
             out_col,
             pc.cast(
-                pc.count_substring_regex(pc.utf8_trim_whitespace(t[text_col]), pattern=r"\S+"),
+                pc.count_substring_regex(t[text_col], pattern=r"\S+"),
                 pa.int64(),
             ),
         ),

@@ -137,16 +137,21 @@ def test_embedding_hot_bucket_is_linear():
 
 def test_jaccard_profile_duplicate_ids_deterministic():
     """Duplicate ids with differing texts (exact dedup skipped): the exact
-    Jaccard must come from the min-by-bytes text per id — the same
-    deterministic pick recompute_sigs makes — regardless of block order."""
-    from kgforge.dedup_core import jaccard as _jac, shingles as _sh
+    Jaccard must come from the text with the min-by-bytes SIGNATURE per id
+    — the same pick recompute_sigs makes for est_jaccard, so one output
+    row never mixes two texts of the same id — regardless of block order."""
+    from kgforge.dedup_core import (
+        jaccard as _jac,
+        minhash_signature as _msig,
+        shingles as _sh,
+    )
     from kgforge.dedup_ops import jaccard_pairs_profile
 
     base = " ".join(f"tok{i}" for i in range(80))
+    ta, tz = "A " + base, "z " + base
     t = pa.table({
         "id": ["a", "a", "b"],
-        # two texts for id 'a'; min-by-bytes is the one starting with 'A'
-        "text": ["A " + base, "z " + base, "A " + base + " tailword"],
+        "text": [ta, tz, "A " + base + " tailword"],
     })
     outs = []
     for parallelism in (1, 3):
@@ -156,7 +161,8 @@ def test_jaccard_profile_duplicate_ids_deterministic():
     assert outs[0] == outs[1]
     rows = [r for r in outs[0] if (r["a"], r["b"]) == ("a", "b")]
     assert rows, f"candidate pair (a, b) not found: {outs[0]}"
-    expect = _jac(_sh("A " + base, 3), _sh("A " + base + " tailword", 3))
+    win = min((ta, tz), key=lambda x: _msig(_sh(x)).astype("int64").tobytes())
+    expect = _jac(_sh(win, 3), _sh("A " + base + " tailword", 3))
     assert rows[0]["exact_jaccard"] == round(expect, 4)
 
 

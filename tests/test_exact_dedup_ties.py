@@ -55,3 +55,30 @@ def test_same_ts_url_different_content_breaks_tie_by_sha():
     cand = shas[shas["url_norm"] == url_norm]["text_sha256"]
     kept = out[out["url_norm"] == url_norm]["text_sha256"].iloc[0]
     assert kept == cand.max()
+
+
+def test_shaless_content_ties_deterministic_across_paths():
+    """Rows tying on (warc_ts, url) with DIFFERENT content and no
+    text_sha256 column (dedup before extraction): both paths must keep
+    the same, content-determined row regardless of row order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.steps.extract import exact_dedup
+
+    ts = [1000, 1000]
+    rows = {
+        "url": ["http://x.example/p", "http://x.example/p"],
+        "url_norm": ["http://x.example/p", "http://x.example/p"],
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": ["A payload", "Z payload"],
+    }
+    t_fwd = pa.table(rows)
+    t_rev = t_fwd.take([1, 0])
+    outs = []
+    for t in (t_fwd, t_rev):
+        for path in ("gather", "join"):
+            out = exact_dedup(rd.from_arrow(t), force_path=path).to_pandas()
+            assert len(out) == 1, (path, out)
+            outs.append(out["text"].iloc[0])
+    assert len(set(outs)) == 1, f"content pick differs: {outs}"

@@ -227,3 +227,29 @@ def test_make_literal_injective_for_ambiguous_lexicals():
     assert parsed["obj"].to_pylist() == objs
     # and the lexical forms survive a second serialization unchanged
     assert to_nt_lines(parsed)["line"].to_pylist() == to_nt_lines(t)["line"].to_pylist()
+
+
+def test_make_literal_rejects_non_roundtrippable_datatypes():
+    import pytest
+
+    from kgforge.ntriples import make_literal
+
+    with pytest.raises(ValueError, match="gYear"):
+        make_literal("198", "gYear")
+    with pytest.raises(ValueError, match="absolute IRI"):
+        make_literal("3.14", "decimal")
+
+
+def test_read_ntriples_raises_on_foreign_directory(tmp_path):
+    """A directory not written by write_ntriples (no _MANIFEST, no *.nt)
+    must raise, not silently return an empty graph (data loss on a
+    mis-targeted path or foreign-named parts)."""
+    import pytest
+
+    d = tmp_path / "export"
+    d.mkdir()
+    (d / "graph.ntriples").write_text(
+        "<http://kgforge.example/entity/a> <http://kgforge.example/pred/p> "
+        "<http://kgforge.example/entity/b> .\n")
+    with pytest.raises(FileNotFoundError, match="no _MANIFEST"):
+        read_ntriples(str(d))

@@ -40,6 +40,11 @@ def test_text_queries_match_oracle_on_adversarial_documents(tmp_path):
         "a nbsp separated",  # non-breaking space: NOT a separator
         "tabs\tand\nnewlines\rand\fformfeeds\vvertical",
         "singleword",
+        "\x0b x",          # vertical tab: RE2 \S matches it, Unicode trim ate it
+        "\x0b",
+        "\xa0 hello",      # NBSP-adjacent whitespace
+        "İstanbul and İzmir are cities",  # Python lower() vs DuckDB lower()
+        "STRASSE and ß",
     ]
     t = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
