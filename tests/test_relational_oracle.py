@@ -58,3 +58,36 @@ def test_text_queries_match_oracle_on_adversarial_documents(tmp_path):
                             "text_quality_scores", "q_doc_lang_stats"])
     failures = {k: msg for k, (ok, msg) in res.items() if not ok}
     assert not failures, f"oracle mismatches on adversarial text: {failures}"
+
+
+def test_count_semantics_match_oracle_with_null_columns(tmp_path):
+    """The driver lineitem has no NULLs, so count(*) vs count(col)
+    mistakes are invisible to it — inject NULL l_quantity / l_discount
+    and require the three count-bearing aggregate queries to still match
+    their oracles exactly."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_nulls"
+    sf.mkdir()
+    for f in ("region nation customer supplier part orders "
+              "events documents embeddings").split():
+        shutil.copy(f"/root/testdata/sf0.001/{f}.parquet", sf / f"{f}.parquet")
+    t = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    n = t.num_rows
+    qty = t["l_quantity"].to_pylist()
+    disc = t["l_discount"].to_pylist()
+    qty = [None if i % 7 == 0 else v for i, v in enumerate(qty)]
+    disc = [None if i % 11 == 0 else v for i, v in enumerate(disc)]
+    t = t.set_column(t.schema.get_field_index("l_quantity"), "l_quantity",
+                     pa.array(qty, t.schema.field("l_quantity").type))
+    t = t.set_column(t.schema.get_field_index("l_discount"), "l_discount",
+                     pa.array(disc, t.schema.field("l_discount").type))
+    pq.write_table(t, sf / "lineitem.parquet")
+    assert n > 100
+    res = run_all(str(sf), ["q1_pricing_summary", "q_lineitem_orders_join",
+                            "q_revenue_by_segment", "q_topk_lineitems"])
+    failures = {k: msg for k, (ok, msg) in res.items() if not ok}
+    assert not failures, f"oracle mismatches with NULL columns: {failures}"
