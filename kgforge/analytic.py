@@ -1,0 +1,402 @@
+"""Analytic operators: partitioned window functions, ROLLUP / CUBE /
+GROUPING SETS, and pivot (SURVEY §2.I2/I4 extension — the SQL-analytics
+surface a user of a kbgen-class engine expects next to plain groupbys).
+
+Ray-Data-first shapes:
+
+- ``window()`` — SQL ``fn() OVER (PARTITION BY p ORDER BY o)`` as
+  ``ds.groupby(partition).map_groups`` with every window kernel
+  vectorized (numpy / pandas) inside the sorted group.  Partitioning
+  assumption (same as Spark/Flink partitioned windows): ONE PARTITION
+  must fit in a worker's heap.  An unpartitioned window is a single
+  group — callers get an explicit error unless they opt in, so a
+  global window over web-scale data cannot sneak in silently.
+- ``grouping_sets()`` / ``rollup()`` / ``cube()`` — ONE distributed
+  shuffle at the finest grain; every coarser grouping set is
+  re-aggregated from the finest partials (algebraic aggregates:
+  count/sum/min/max, with mean derived as sum/count).  The finest
+  aggregate is bounded by group cardinality, so the re-aggregation is
+  driver-side Arrow/pandas over a small table — no second shuffle.
+  A ``grouping_id`` bitmask column (SQL ``GROUPING()``) disambiguates
+  "NULL because rolled up" from "NULL key in the data".
+- ``pivot()`` — finest groupby (one shuffle) then a per-index
+  ``map_groups`` reshape to wide rows.  The pivot-value set must be
+  supplied (stable schema at scale) or is discovered from the small
+  aggregated result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from itertools import chain, combinations
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+#: spec field ``fn`` → (needs ``col``, needs numeric col)
+WINDOW_FNS: dict[str, bool] = {
+    "row_number": False,
+    "rank": False,
+    "dense_rank": False,
+    "percent_rank": False,
+    "cume_dist": False,
+    "ntile": False,
+    "lag": True,
+    "lead": True,
+    "first_value": True,
+    "cumsum": True,
+    "cummin": True,
+    "cummax": True,
+    "rolling_sum": True,
+    "rolling_mean": True,
+}
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _validate_specs(specs: Sequence[dict[str, Any]]) -> None:
+    seen: set[str] = set()
+    for s in specs:
+        fn = s.get("fn")
+        if fn not in WINDOW_FNS:
+            raise ValueError(f"unknown window fn {fn!r}; supported: {sorted(WINDOW_FNS)}")
+        out = s.get("out")
+        if not out or out in seen:
+            raise ValueError(f"every spec needs a unique 'out' column (got {out!r})")
+        seen.add(out)
+        if WINDOW_FNS[fn] and not s.get("col"):
+            raise ValueError(f"window fn {fn!r} needs a 'col'")
+        if fn == "ntile" and not s.get("n"):
+            raise ValueError("ntile needs 'n'")
+        if fn in ("rolling_sum", "rolling_mean") and not s.get("window"):
+            raise ValueError(f"{fn} needs 'window'")
+
+
+def _order_boundaries(g: pd.DataFrame, order_keys: list[str]) -> np.ndarray:
+    """Boolean array: True where the ORDER BY key differs from the
+    previous row (row 0 is always True).  NaN keys compare equal to NaN
+    (SQL peers), handled via pandas nullable-safe comparison."""
+    n = len(g)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        same = np.ones(n - 1, dtype=bool)
+        for k in order_keys:
+            col = g[k]
+            eq = (col.values[1:] == col.values[:-1])
+            both_na = col.isna().values[1:] & col.isna().values[:-1]
+            same &= eq | both_na
+        new[1:] = ~same
+    return new
+
+
+def _apply_specs(
+    g: pd.DataFrame, order_keys: list[str], ascending: list[bool], specs: Sequence[dict]
+) -> pd.DataFrame:
+    g = g.sort_values(order_keys, ascending=ascending, kind="stable").reset_index(drop=True)
+    n = len(g)
+    new = None  # lazily computed tie-group boundaries
+
+    def boundaries() -> np.ndarray:
+        nonlocal new
+        if new is None:
+            new = _order_boundaries(g, order_keys)
+        return new
+
+    for s in specs:
+        fn, out = s["fn"], s["out"]
+        if fn == "row_number":
+            g[out] = np.arange(1, n + 1, dtype=np.int64)
+        elif fn == "rank":
+            b = boundaries()
+            start = np.where(b, np.arange(1, n + 1, dtype=np.int64), 0)
+            g[out] = np.maximum.accumulate(start)
+        elif fn == "dense_rank":
+            g[out] = np.cumsum(boundaries()).astype(np.int64)
+        elif fn == "percent_rank":
+            b = boundaries()
+            start = np.where(b, np.arange(1, n + 1, dtype=np.int64), 0)
+            rank = np.maximum.accumulate(start)
+            g[out] = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        elif fn == "cume_dist":
+            b = boundaries()
+            dense = np.cumsum(b) - 1
+            counts = np.bincount(dense)
+            end_pos = np.cumsum(counts)  # last row index (1-based) of each tie group
+            g[out] = end_pos[dense] / n
+        elif fn == "ntile":
+            # SQL ntile: first n%k buckets get ceil(n/k) rows, the rest floor(n/k)
+            k = int(s["n"])
+            base, rem = divmod(n, k)
+            sizes = np.full(min(k, n), base, dtype=np.int64)
+            sizes[:rem] += 1
+            g[out] = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes[: len(sizes)])[:n]
+        elif fn == "lag":
+            g[out] = g[s["col"]].shift(int(s.get("offset", 1)))
+        elif fn == "lead":
+            g[out] = g[s["col"]].shift(-int(s.get("offset", 1)))
+        elif fn == "first_value":
+            g[out] = g[s["col"]].iloc[0] if n else None
+        elif fn == "cumsum":
+            g[out] = g[s["col"]].cumsum()
+        elif fn == "cummin":
+            g[out] = g[s["col"]].cummin()
+        elif fn == "cummax":
+            g[out] = g[s["col"]].cummax()
+        elif fn == "rolling_sum":
+            g[out] = g[s["col"]].rolling(int(s["window"]), min_periods=1).sum()
+        elif fn == "rolling_mean":
+            g[out] = g[s["col"]].rolling(int(s["window"]), min_periods=1).mean()
+    return g
+
+
+def window(
+    ds: Dataset,
+    partition_by: str | Sequence[str] | None,
+    order_by: str | Sequence[str],
+    specs: Sequence[dict[str, Any]],
+    *,
+    descending: bool | Sequence[bool] = False,
+    allow_global: bool = False,
+) -> Dataset:
+    """SQL window functions over ``PARTITION BY partition_by ORDER BY
+    order_by``; frame semantics are ``ROWS`` (``ROWS UNBOUNDED
+    PRECEDING`` for cumulative fns, ``ROWS window-1 PRECEDING`` for
+    rolling fns) — match the oracle SQL with an explicit ROWS frame.
+
+    ``specs``: list of ``{"out": name, "fn": name, ...}`` dicts, fn one
+    of ``WINDOW_FNS``.  ``lag``/``lead`` take ``col`` and ``offset``;
+    ``ntile`` takes ``n``; ``rolling_*`` take ``col`` and ``window``.
+
+    Determinism: rows are sorted with a STABLE sort inside the group;
+    for ``row_number``/``ntile`` to be reproducible across runs the
+    ORDER BY keys must be unique per partition (append a tiebreak
+    column, exactly as SQL requires).
+
+    ``partition_by=None`` is a GLOBAL window: the whole dataset becomes
+    one group on one worker.  That is a deliberate scale hazard, so it
+    requires ``allow_global=True`` (meant for small / pre-aggregated
+    inputs only).
+    """
+    order_keys = _as_list(order_by)
+    asc = (
+        [not descending] * len(order_keys)
+        if isinstance(descending, bool)
+        else [not d for d in descending]
+    )
+    if len(asc) != len(order_keys):
+        raise ValueError("descending must be a bool or match order_by length")
+    specs = [dict(s) for s in specs]
+    _validate_specs(specs)
+
+    if partition_by is None:
+        if not allow_global:
+            raise ValueError(
+                "global (unpartitioned) window collapses the dataset onto one "
+                "worker; pass allow_global=True only for small inputs"
+            )
+
+        def apply_all(g: pd.DataFrame) -> pd.DataFrame:
+            return _apply_specs(g, order_keys, asc, specs)
+
+        return ds.repartition(1).map_batches(apply_all, batch_format="pandas", batch_size=None)
+
+    part_keys = _as_list(partition_by)
+    key = part_keys[0] if len(part_keys) == 1 else part_keys
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return _apply_specs(g, order_keys, asc, specs)
+
+    return ds.groupby(key).map_groups(apply, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+#: agg spec fn → Ray aggregate over the finest grain
+_ALGEBRAIC = ("count", "sum", "min", "max", "mean")
+
+
+def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.DataFrame:
+    """One distributed shuffle: per-finest-group algebraic partials.
+    mean is carried as (sum, count) and finalized per grouping set."""
+    ray_aggs = []
+    for a in aggs:
+        fn, col, out = a["fn"], a.get("col"), a["out"]
+        if fn == "count":
+            ray_aggs.append(Count(alias_name=f"__cnt_{out}"))
+        elif fn == "sum":
+            ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
+        elif fn == "min":
+            ray_aggs.append(Min(col, alias_name=f"__min_{out}"))
+        elif fn == "max":
+            ray_aggs.append(Max(col, alias_name=f"__max_{out}"))
+        elif fn == "mean":
+            ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
+            ray_aggs.append(Count(alias_name=f"__cnt_{out}"))
+        else:
+            raise ValueError(f"unsupported agg fn {fn!r}; algebraic fns: {_ALGEBRAIC}")
+    # Count() counts rows; dedup identical aliases (mean+count on same out)
+    names: set[str] = set()
+    uniq = []
+    for ra in ray_aggs:
+        alias = ra.name
+        if alias not in names:
+            names.add(alias)
+            uniq.append(ra)
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*uniq).to_pandas()
+
+
+def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> pd.DataFrame:
+    """Collapse the finest partials to one grouping set (pandas, small)."""
+    how = {}
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn in ("count",):
+            how[f"__cnt_{out}"] = "sum"
+        elif fn == "sum":
+            how[f"__sum_{out}"] = "sum"
+        elif fn == "min":
+            how[f"__min_{out}"] = "min"
+        elif fn == "max":
+            how[f"__max_{out}"] = "max"
+        elif fn == "mean":
+            how[f"__sum_{out}"] = "sum"
+            how[f"__cnt_{out}"] = "sum"
+    if sub_keys:
+        g = base.groupby(sub_keys, dropna=False).agg(how).reset_index()
+    else:
+        g = base.agg(how).to_frame().T.reset_index(drop=True)
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn == "count":
+            g[out] = g[f"__cnt_{out}"].astype("int64")
+        elif fn == "mean":
+            g[out] = g[f"__sum_{out}"] / g[f"__cnt_{out}"]
+        else:
+            g[out] = g[f"__{fn}_{out}"]
+    return g[sub_keys + [a["out"] for a in aggs]]
+
+
+def grouping_sets(
+    ds: Dataset, keys: Sequence[str], sets: Sequence[Sequence[str]], aggs: Sequence[dict]
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS (...)`` with algebraic aggregates.
+
+    ``keys``: every column any set uses (defines the bitmask order —
+    bit i set ⇔ keys[i] is AGGREGATED AWAY in that row, matching
+    DuckDB's ``GROUPING(keys...)``).  ``aggs``: list of
+    ``{"fn": "count|sum|min|max|mean", "col": c, "out": name}``.
+
+    ONE distributed shuffle at the finest grain; every set is derived
+    from those partials driver-side (result is group-cardinality-sized).
+    Returns a pandas DataFrame with all key columns (None where rolled
+    up), the agg columns, and ``grouping_id``.
+    """
+    keys = list(keys)
+    aggs = [dict(a) for a in aggs]
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} uses columns not in keys: {unknown}")
+    base = _finest_aggregate(ds, keys, aggs)
+    out_frames = []
+    for s in sets:
+        sub = [k for k in keys if k in set(s)]  # canonical key order
+        g = _reaggregate(base, sub, aggs)
+        gid = 0
+        for i, k in enumerate(keys):
+            if k not in set(sub):
+                gid |= 1 << (len(keys) - 1 - i)
+                g[k] = None
+        g["grouping_id"] = np.int64(gid)
+        out_frames.append(g[keys + [a["out"] for a in aggs] + ["grouping_id"]])
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def rollup(ds: Dataset, keys: Sequence[str], aggs: Sequence[dict]) -> pd.DataFrame:
+    """``GROUP BY ROLLUP (keys...)``: prefixes of ``keys`` incl. grand total."""
+    keys = list(keys)
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets(ds, keys, sets, aggs)
+
+
+def cube(ds: Dataset, keys: Sequence[str], aggs: Sequence[dict]) -> pd.DataFrame:
+    """``GROUP BY CUBE (keys...)``: every subset of ``keys``."""
+    keys = list(keys)
+    sets = list(chain.from_iterable(combinations(keys, r) for r in range(len(keys), -1, -1)))
+    return grouping_sets(ds, keys, [list(s) for s in sets], aggs)
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+
+def pivot(
+    ds: Dataset,
+    index: str,
+    pivot_col: str,
+    value_col: str,
+    *,
+    agg: str = "sum",
+    values: Sequence[Any] | None = None,
+) -> Dataset:
+    """``PIVOT``: one row per ``index``, one column per pivot value,
+    cells = ``agg(value_col)`` (sum/count/min/max/mean).
+
+    One distributed shuffle (finest groupby on (index, pivot_col)),
+    then a per-index ``map_groups`` reshape.  ``values`` fixes the
+    output schema (required for a stable schema on unseen data at
+    scale); when omitted it is discovered from the aggregated result
+    (small: one row per (index, pivot) pair).  Missing cells are null
+    (count: 0).
+    """
+    if agg not in ("count", "sum", "min", "max", "mean"):
+        raise ValueError(f"unsupported pivot agg {agg!r}")
+    fine = ds.groupby([index, pivot_col]).aggregate(
+        *(
+            [Count(alias_name="__cnt___v")]
+            if agg == "count"
+            else [Sum(value_col, alias_name="__sum___v"), Count(alias_name="__cnt___v")]
+            if agg == "mean"
+            else [
+                {"sum": Sum, "min": Min, "max": Max}[agg](
+                    value_col, alias_name=f"__{agg}___v"
+                )
+            ]
+        )
+    )
+    if values is None:
+        vals = sorted(
+            fine.groupby(pivot_col)
+            .aggregate(Count(alias_name="__n"))
+            .to_pandas()[pivot_col]
+            .tolist()
+        )
+    else:
+        vals = list(values)
+    col_names = [str(v) for v in vals]
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        row: dict[str, Any] = {index: g[index].iloc[0]}
+        if agg == "mean":
+            cell = g["__sum___v"] / g["__cnt___v"]
+        else:
+            cell = g[[c for c in g.columns if c.startswith("__")][0]]
+        lut = dict(zip(g[pivot_col], cell))
+        for v, name in zip(vals, col_names):
+            row[name] = lut.get(v, 0 if agg == "count" else None)
+        return pd.DataFrame([row])
+
+    return fine.groupby(index).map_groups(widen, batch_format="pandas")

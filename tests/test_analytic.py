@@ -1,0 +1,324 @@
+"""DuckDB-oracle equivalence for kgforge.analytic (window / rollup /
+cube / grouping sets / pivot) over the driver testdata tables at
+sf0.001 — same comparison discipline as the driver: sort columns by
+name, sort rows, compare values exactly (floats rounded identically on
+both sides)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgforge.analytic import cube, grouping_sets, pivot, rollup, window
+from kgforge.relational import read
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame, round_cols: dict[str, int] | None = None) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    if round_cols:
+        for c, nd in round_cols.items():
+            df[c] = df[c].astype(float).round(nd)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame, round_cols=None):
+    got, want = _norm(got, round_cols), _norm(want, round_cols)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            assert np.allclose(
+                a.astype(float).fillna(-1e18), b.astype(float).fillna(-1e18), atol=1e-9
+            ), c
+        else:
+            assert a.astype(object).tolist() == b.astype(object).tolist(), c
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# window
+# ---------------------------------------------------------------------------
+
+
+def test_window_rank_family_vs_duckdb(ray_session):
+    ds = read(SF, "events", ["user_id", "ts", "value"])
+    got = window(
+        ds,
+        "user_id",
+        "ts",
+        [
+            {"out": "rn", "fn": "row_number"},
+            {"out": "rk", "fn": "rank"},
+            {"out": "drk", "fn": "dense_rank"},
+            {"out": "prk", "fn": "percent_rank"},
+            {"out": "cd", "fn": "cume_dist"},
+            {"out": "tile", "fn": "ntile", "n": 4},
+        ],
+    ).to_pandas()
+    want = _duck(
+        """
+        SELECT user_id, ts, value,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd,
+               ntile(4) OVER w AS tile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """
+    )
+    for c in ("rn", "rk", "drk", "tile"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want, {"value": 6, "prk": 9, "cd": 9})
+
+
+def test_window_lag_lead_cumulative_vs_duckdb(ray_session):
+    ds = read(SF, "events", ["user_id", "ts", "value"])
+    got = window(
+        ds,
+        "user_id",
+        "ts",
+        [
+            {"out": "prev_v", "fn": "lag", "col": "value"},
+            {"out": "next_v", "fn": "lead", "col": "value"},
+            {"out": "prev2_v", "fn": "lag", "col": "value", "offset": 2},
+            {"out": "fv", "fn": "first_value", "col": "value"},
+            {"out": "running", "fn": "cumsum", "col": "value"},
+            {"out": "peak", "fn": "cummax", "col": "value"},
+            {"out": "roll3", "fn": "rolling_mean", "col": "value", "window": 3},
+        ],
+    ).to_pandas()
+    want = _duck(
+        """
+        SELECT user_id, ts, value,
+               lag(value) OVER w AS prev_v,
+               lead(value) OVER w AS next_v,
+               lag(value, 2) OVER w AS prev2_v,
+               first_value(value) OVER w AS fv,
+               sum(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running,
+               max(value) OVER (w ROWS UNBOUNDED PRECEDING) AS peak,
+               avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """
+    )
+    _assert_frames_equal(
+        got,
+        want,
+        {"value": 6, "prev_v": 6, "next_v": 6, "prev2_v": 6, "fv": 6, "running": 4,
+         "peak": 6, "roll3": 4},
+    )
+
+
+def test_window_descending_and_global(ray_session):
+    ds = read(SF, "orders", ["o_orderkey", "o_totalprice"])
+    got = window(
+        ds,
+        None,
+        ["o_totalprice", "o_orderkey"],
+        [{"out": "rn", "fn": "row_number"}],
+        descending=[True, False],
+        allow_global=True,
+    ).to_pandas()
+    want = _duck(
+        """
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+        """
+    )
+    got["rn"] = got["rn"].astype("int64")
+    want["rn"] = want["rn"].astype("int64")
+    _assert_frames_equal(got, want, {"o_totalprice": 6})
+
+
+def test_window_global_requires_opt_in(ray_session):
+    ds = read(SF, "orders", ["o_orderkey", "o_totalprice"])
+    with pytest.raises(ValueError, match="allow_global"):
+        window(ds, None, "o_orderkey", [{"out": "rn", "fn": "row_number"}])
+
+
+def test_window_spec_validation(ray_session):
+    ds = read(SF, "orders", ["o_orderkey"])
+    with pytest.raises(ValueError, match="unknown window fn"):
+        window(ds, "o_orderkey", "o_orderkey", [{"out": "x", "fn": "median"}])
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        window(ds, "o_orderkey", "o_orderkey", [{"out": "x", "fn": "lag"}])
+    with pytest.raises(ValueError, match="unique 'out'"):
+        window(
+            ds, "o_orderkey", "o_orderkey",
+            [{"out": "x", "fn": "row_number"}, {"out": "x", "fn": "rank"}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+AGGS = [
+    {"fn": "count", "out": "n"},
+    {"fn": "sum", "col": "l_quantity", "out": "qty"},
+    {"fn": "min", "col": "l_extendedprice", "out": "min_price"},
+    {"fn": "max", "col": "l_extendedprice", "out": "max_price"},
+    {"fn": "mean", "col": "l_discount", "out": "avg_disc"},
+]
+
+AGG_SQL = """
+       count(*) AS n,
+       sum(l_quantity) AS qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       avg(l_discount) AS avg_disc
+"""
+
+ROUND = {"qty": 2, "min_price": 2, "max_price": 2, "avg_disc": 6}
+
+
+def _norm_gid(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["grouping_id"] = df["grouping_id"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def test_rollup_vs_duckdb(ray_session):
+    ds = read(
+        SF, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = _norm_gid(rollup(ds, ["l_returnflag", "l_linestatus"], AGGS))
+    want = _norm_gid(
+        _duck(
+            f"""
+            SELECT l_returnflag, l_linestatus, {AGG_SQL},
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            """
+        )
+    )
+    _assert_frames_equal(got, want, ROUND)
+
+
+def test_cube_vs_duckdb(ray_session):
+    ds = read(
+        SF, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = _norm_gid(cube(ds, ["l_returnflag", "l_linestatus"], AGGS))
+    want = _norm_gid(
+        _duck(
+            f"""
+            SELECT l_returnflag, l_linestatus, {AGG_SQL},
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            """
+        )
+    )
+    _assert_frames_equal(got, want, ROUND)
+
+
+def test_grouping_sets_vs_duckdb(ray_session):
+    ds = read(
+        SF, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = _norm_gid(
+        grouping_sets(
+            ds,
+            ["l_returnflag", "l_linestatus"],
+            [["l_returnflag"], ["l_linestatus"]],
+            AGGS,
+        )
+    )
+    want = _norm_gid(
+        _duck(
+            f"""
+            SELECT l_returnflag, l_linestatus, {AGG_SQL},
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            """
+        )
+    )
+    _assert_frames_equal(got, want, ROUND)
+
+
+def test_grouping_sets_rejects_unknown_key(ray_session):
+    ds = read(SF, "lineitem", ["l_returnflag", "l_quantity"])
+    with pytest.raises(ValueError, match="not in keys"):
+        grouping_sets(ds, ["l_returnflag"], [["nope"]], [{"fn": "count", "out": "n"}])
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_sum_vs_duckdb(ray_session):
+    ds = read(SF, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    got = pivot(
+        ds, "l_returnflag", "l_linestatus", "l_quantity", agg="sum", values=["F", "O"]
+    ).to_pandas()
+    want = _duck(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+               sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    _assert_frames_equal(got, want, {"F": 2, "O": 2})
+
+
+def test_pivot_count_discovers_values(ray_session):
+    ds = read(SF, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    got = pivot(ds, "l_returnflag", "l_linestatus", "l_quantity", agg="count").to_pandas()
+    want = _duck(
+        """
+        SELECT l_returnflag,
+               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    for c in ("F", "O"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+
+
+def test_pivot_mean_vs_duckdb(ray_session):
+    ds = read(SF, "lineitem", ["l_returnflag", "l_linestatus", "l_discount"])
+    got = pivot(
+        ds, "l_returnflag", "l_linestatus", "l_discount", agg="mean", values=["F", "O"]
+    ).to_pandas()
+    want = _duck(
+        """
+        SELECT l_returnflag,
+               avg(CASE WHEN l_linestatus = 'F' THEN l_discount END) AS "F",
+               avg(CASE WHEN l_linestatus = 'O' THEN l_discount END) AS "O"
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    _assert_frames_equal(got, want, {"F": 6, "O": 6})
