@@ -1,0 +1,222 @@
+"""Relational operator extensions (SURVEY §2.D6/F5/B11 additions):
+broadcast interval (validity-window / SCD-2) join, unnest (explode) of
+list columns, and deterministic stratified sampling.
+
+Scale shapes:
+
+- ``broadcast_interval_join`` — the dimension (windows) side is SMALL
+  and ships once per task via closure capture (same broadcast pattern
+  as the D1 dimension joins in ``relational.py``); the big probe side
+  streams through ``map_batches`` with a vectorized pandas merge +
+  interval filter per batch.  No shuffle of the big side at all.
+- ``unnest`` — per-batch zero-copy Arrow flatten
+  (``list_flatten`` + ``list_parent_indices``); null/empty lists drop
+  their row, matching SQL ``UNNEST`` semantics.
+- ``stratified_sample`` — keep a row iff a DETERMINISTIC 64-bit hash of
+  its id falls below ``fraction`` of the hash space, independently
+  inside each stratum.  No RNG state: the same (seed, id) keeps/drops
+  identically across runs, block layouts and cluster sizes, so a
+  resumed or re-sharded job samples the same rows (ray_guide: never
+  depend on block order for randomness).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from kgforge.extract_core import stable_u64
+
+# ---------------------------------------------------------------------------
+# broadcast interval join (D6)
+# ---------------------------------------------------------------------------
+
+
+def broadcast_interval_join(
+    ds: Dataset,
+    dim: pd.DataFrame,
+    key: str | Sequence[str],
+    probe_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    how: str = "inner",
+    closed: str = "left",
+    suffix: str = "_dim",
+) -> Dataset:
+    """Join each probe row to the dimension rows with the same ``key``
+    whose ``[start_col, end_col)`` interval contains ``probe_col``
+    (``closed='left'``; ``'both'`` = inclusive end — SQL ``BETWEEN``).
+
+    ``dim`` is the SMALL side (validity-window dimension, e.g. an SCD-2
+    price/ownership table): it is captured by closure and shipped once
+    per task.  ``how='left'`` keeps unmatched probe rows with null
+    dimension columns.  Overlapping windows multiply rows, exactly as
+    the equivalent SQL non-equi join does.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    for c in keys + [start_col, end_col]:
+        if c not in dim.columns:
+            raise ValueError(f"dim is missing column {c!r}")
+    dim = dim.reset_index(drop=True)
+
+    def join_batch(b: pd.DataFrame) -> pd.DataFrame:
+        # dim columns that collide with probe columns get the suffix
+        # (probe keeps the bare name, like SQL's qualified projection)
+        overlap = (set(b.columns) & set(dim.columns)) - set(keys)
+        d = dim.rename(columns={c: c + suffix for c in overlap})
+        s_col = start_col + suffix if start_col in overlap else start_col
+        e_col = end_col + suffix if end_col in overlap else end_col
+        b = b.reset_index(drop=True)
+        b["__rid"] = np.arange(len(b), dtype=np.int64)
+        m = b.merge(d, on=keys, how="inner")
+        ts = m[probe_col]
+        mask = (m[s_col] <= ts) & ((ts < m[e_col]) if closed == "left" else (ts <= m[e_col]))
+        m = m[mask]
+        if how == "left":
+            missing = b[~b["__rid"].isin(m["__rid"])]
+            if len(missing):
+                m = pd.concat([m, missing], ignore_index=True)
+        return m.drop(columns="__rid")
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# unnest / explode (B11)
+# ---------------------------------------------------------------------------
+
+
+def unnest(
+    ds: Dataset,
+    list_col: str,
+    *,
+    out_col: str | None = None,
+    ordinal_col: str | None = None,
+) -> Dataset:
+    """Explode a ``list<T>`` column to one row per element (SQL
+    ``UNNEST``): other columns repeat per element; null or empty lists
+    drop their row.  ``ordinal_col`` adds the 1-based position within
+    the list (``generate_subscripts`` semantics).  Zero-copy Arrow:
+    ``list_flatten`` + ``take`` on ``list_parent_indices`` per batch."""
+    out = out_col or list_col
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        parents = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        rest = t.drop_columns([list_col]).take(parents)
+        arrays = list(rest.columns)
+        names = list(rest.schema.names)
+        arrays.append(flat)
+        names.append(out)
+        if ordinal_col is not None:
+            lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+            total = int(lengths.sum())
+            starts = np.cumsum(lengths) - lengths
+            ordinals = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths) + 1
+            arrays.append(pa.array(ordinals, pa.int64()))
+            names.append(ordinal_col)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (F5)
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed deterministic
+    u64→u64 permutation (public constant schedule)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def sample_hash_u64(values: pa.Array | pa.ChunkedArray, seed: int) -> np.ndarray:
+    """Deterministic per-value u64 hash: vectorized splitmix64 for
+    integer ids, blake2b (``stable_u64``) for strings.  Stable across
+    processes, library versions and cluster layouts — the property the
+    sampling contract needs (polars' hash seed schedule is not
+    version-pinned, so it is NOT used here)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if pa.types.is_integer(values.type):
+        ids = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(ids ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    salt = f"strat{seed}"
+    return np.array(
+        [stable_u64(v, salt) for v in values.to_pylist()], dtype=np.uint64
+    )
+
+
+def stratified_sample(
+    ds: Dataset,
+    id_col: str,
+    fraction: float | dict[Any, float],
+    *,
+    key_col: str | None = None,
+    seed: int = 0,
+) -> Dataset:
+    """Deterministic sample: keep a row iff ``hash(seed, id) <
+    fraction * 2^64``.  With ``fraction`` a dict, ``key_col`` selects a
+    per-stratum rate (strata absent from the dict are dropped); with a
+    scalar, every row uses the same rate (ids spread uniformly within
+    every stratum, so each stratum is sampled at ~``fraction``
+    independently of its size).  Same (seed, id) → same decision on any
+    run, block layout or cluster size."""
+    # exact-integer predicate: keep iff h <= int(f * 2^64) - 1.  f=1.0
+    # gives 2^64-1 (keep all), f=0.0 gives -1 (keep none, via the valid
+    # flag) — no float round-trip, so no uint64 overflow at the edges.
+    def _thr(f: Any) -> tuple[np.uint64, bool]:
+        t = int(min(max(float(f), 0.0), 1.0) * 2**64) - 1
+        return np.uint64(max(t, 0)), t >= 0
+
+    if isinstance(fraction, dict):
+        if key_col is None:
+            raise ValueError("per-stratum fractions need key_col")
+        thresholds = {k: _thr(f) for k, f in fraction.items()}
+
+        def keep(t: pa.Table) -> pa.Table:
+            h = sample_hash_u64(t[id_col], seed)
+            codes, uniques = pd.factorize(t[key_col].to_pandas(), use_na_sentinel=True)
+            lut_thr = np.array(
+                [thresholds.get(u, (np.uint64(0), False))[0] for u in uniques],
+                dtype=np.uint64,
+            )
+            lut_ok = np.array(
+                [thresholds.get(u, (np.uint64(0), False))[1] for u in uniques],
+                dtype=bool,
+            )
+            safe = np.maximum(codes, 0)
+            mask = (codes >= 0) & lut_ok[safe] & (h <= lut_thr[safe]) if len(uniques) else np.zeros(len(h), bool)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    threshold, valid = _thr(fraction)
+
+    def keep_flat(t: pa.Table) -> pa.Table:
+        h = sample_hash_u64(t[id_col], seed)
+        mask = (h <= threshold) if valid else np.zeros(len(h), bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep_flat, batch_format="pyarrow")

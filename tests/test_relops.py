@@ -1,0 +1,208 @@
+"""DuckDB-oracle and determinism tests for kgforge.relops (interval
+join, unnest, stratified sampling) over the sf0.001 driver tables."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kgforge.relops import broadcast_interval_join, stratified_sample, unnest
+from kgforge.relational import read
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def _assert_equal(got: pd.DataFrame, want: pd.DataFrame):
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            assert np.allclose(
+                a.astype(float).fillna(-1e18), b.astype(float).fillna(-1e18), atol=1e-9
+            ), c
+        else:
+            assert a.astype(object).where(pd.notna(a), None).tolist() == b.astype(
+                object
+            ).where(pd.notna(b), None).tolist(), c
+
+
+def _scd2_dim() -> pd.DataFrame:
+    """Deterministic SCD-2 validity-window dimension over the events
+    user ids: two consecutive tiers per user, a gap after, and a column
+    named ``value`` to exercise name-collision suffixing."""
+    users = list(range(0, 40))
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for u in users:
+        rows.append((u, t0, t0 + pd.Timedelta(days=12), "bronze", float(u)))
+        rows.append(
+            (u, t0 + pd.Timedelta(days=12), t0 + pd.Timedelta(days=21), "gold", u + 0.5)
+        )
+    return pd.DataFrame(rows, columns=["user_id", "start_ts", "end_ts", "tier", "value"])
+
+
+def _duck_with_dim(sql: str, dim: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    con.register("dim", dim)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_interval_join_inner_vs_duckdb(ray_session):
+    dim = _scd2_dim()
+    ds = read(SF, "events", ["event_id", "user_id", "ts", "value"])
+    got = broadcast_interval_join(
+        ds, dim, "user_id", "ts", "start_ts", "end_ts", how="inner"
+    ).to_pandas()
+    want = _duck_with_dim(
+        """
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               d.start_ts, d.end_ts, d.tier, d.value AS value_dim
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id
+                  AND d.start_ts <= e.ts AND e.ts < d.end_ts
+        """,
+        dim,
+    )
+    assert len(got) > 0
+    _assert_equal(got, want)
+
+
+def test_interval_join_left_vs_duckdb(ray_session):
+    dim = _scd2_dim()
+    ds = read(SF, "events", ["event_id", "user_id", "ts", "value"])
+    got = broadcast_interval_join(
+        ds, dim, "user_id", "ts", "start_ts", "end_ts", how="left"
+    ).to_pandas()
+    want = _duck_with_dim(
+        """
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               d.start_ts, d.end_ts, d.tier, d.value AS value_dim
+        FROM events e
+        LEFT JOIN dim d ON e.user_id = d.user_id
+                       AND d.start_ts <= e.ts AND e.ts < d.end_ts
+        """,
+        dim,
+    )
+    assert len(got) == len(want)
+    _assert_equal(got, want)
+
+
+def test_interval_join_closed_both_vs_duckdb(ray_session):
+    dim = _scd2_dim().drop(columns=["value"])
+    ds = read(SF, "events", ["event_id", "user_id", "ts"])
+    got = broadcast_interval_join(
+        ds, dim, "user_id", "ts", "start_ts", "end_ts", closed="both"
+    ).to_pandas()
+    want = _duck_with_dim(
+        """
+        SELECT e.event_id, e.user_id, e.ts, d.start_ts, d.end_ts, d.tier
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id
+                  AND e.ts BETWEEN d.start_ts AND d.end_ts
+        """,
+        dim,
+    )
+    _assert_equal(got, want)
+
+
+def test_interval_join_validates_args(ray_session):
+    ds = read(SF, "events", ["event_id", "user_id", "ts"])
+    dim = _scd2_dim()
+    with pytest.raises(ValueError, match="how"):
+        broadcast_interval_join(ds, dim, "user_id", "ts", "start_ts", "end_ts", how="outer")
+    with pytest.raises(ValueError, match="missing column"):
+        broadcast_interval_join(ds, dim, "user_id", "ts", "nope", "end_ts")
+
+
+# ---------------------------------------------------------------------------
+# unnest
+# ---------------------------------------------------------------------------
+
+
+def test_unnest_vs_duckdb(ray_session):
+    ds = read(SF, "embeddings", ["vec_id", "embedding"])
+    got = unnest(ds, "embedding", out_col="v", ordinal_col="ord").to_pandas()
+    want = _duck_with_dim(
+        """
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+        """,
+        pd.DataFrame({"x": [0]}),
+    )
+    got["ord"] = got["ord"].astype("int64")
+    want["ord"] = want["ord"].astype("int64")
+    _assert_equal(got, want)
+
+
+def test_unnest_drops_null_and_empty_lists(ray_session):
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([[10, 11], [], None, [12]], pa.list_(pa.int64())),
+        }
+    )
+    got = unnest(rd.from_arrow(t), "xs", ordinal_col="ord").to_pandas()
+    got = got.sort_values(["id", "ord"], ignore_index=True)
+    assert got["id"].tolist() == [1, 1, 4]
+    assert got["xs"].tolist() == [10, 11, 12]
+    assert got["ord"].tolist() == [1, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_unbiased(ray_session):
+    ds = read(SF, "events", ["event_id", "event_type"])
+    a = stratified_sample(ds, "event_id", 0.3, seed=7).to_pandas()
+    b = stratified_sample(ds, "event_id", 0.3, seed=7).to_pandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])  # same rows every run
+    n_total = ds.count()
+    assert 0.22 <= len(a) / n_total <= 0.38
+    c = stratified_sample(ds, "event_id", 0.3, seed=8).to_pandas()
+    assert sorted(a["event_id"]) != sorted(c["event_id"])  # seed changes the sample
+
+
+def test_stratified_sample_per_stratum_rates(ray_session):
+    ds = read(SF, "events", ["event_id", "event_type"])
+    types = ds.groupby("event_type").count().to_pandas()
+    counts = dict(zip(types["event_type"], types["count()"]))
+    rates = {"click": 0.5, "purchase": 1.0}
+    out = stratified_sample(
+        ds, "event_id", rates, key_col="event_type", seed=3
+    ).to_pandas()
+    got_counts = out["event_type"].value_counts().to_dict()
+    # absent strata are dropped entirely
+    assert set(got_counts) <= set(rates)
+    assert got_counts.get("purchase", 0) == counts["purchase"]
+    assert 0.38 * counts["click"] <= got_counts.get("click", 0) <= 0.62 * counts["click"]
+
+
+def test_stratified_sample_string_ids(ray_session):
+    t = pa.table({"sid": pa.array([f"doc-{i}" for i in range(2000)], pa.string())})
+    ds = rd.from_arrow(t)
+    a = stratified_sample(ds, "sid", 0.25, seed=11).to_pandas()
+    b = stratified_sample(ds, "sid", 0.25, seed=11).to_pandas()
+    assert sorted(a["sid"]) == sorted(b["sid"])
+    assert 0.18 <= len(a) / 2000 <= 0.32
