@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min
 
@@ -339,3 +340,197 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
         .map_groups(bucket, batch_format="pyarrow")
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+
+
+# --- paragraph-level exact dedup (CCNet-style) -------------------------------
+
+
+def _flat_paragraphs(t: pa.Table, id_col: str, text_col: str, sep: str):
+    """Vectorized per-batch paragraph explode: (ids-per-para, 0-based
+    pidx, flat paragraph StringArray). Arrow split_pattern + flatten —
+    no Python loop over rows or paragraphs."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    lists = pc.split_pattern(texts, sep)
+    parents = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.cumsum(lengths) - lengths
+    pidx = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(starts, lengths)
+    ids = t[id_col].take(parents)
+    return ids, pidx, flat
+
+
+def _para_hash_factory(seed: int):
+    """Within-run-stable vectorized u64 paragraph hash; the driver picks
+    the implementation ONCE and closes over it (steps/extract.py
+    _hash_urls rationale: heterogeneous workers must not hash
+    differently)."""
+    try:
+        import polars  # noqa: F401
+
+        use_polars = True
+    except ImportError:  # pragma: no cover - polars ships in the sandbox
+        use_polars = False
+
+    def h(flat: pa.Array, _polars=use_polars, _seed=seed) -> np.ndarray:
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if _polars:
+            import polars as pl
+
+            return (
+                pl.from_arrow(flat).hash(seed=_seed).to_numpy()
+                .astype(np.uint64).view(np.int64)
+            )
+        from .extract_core import stable_u64
+
+        return np.array(
+            [stable_u64(p, f"para{_seed}") - (1 << 63) for p in flat.to_pylist()],
+            dtype=np.int64,
+        )
+
+    return h
+
+
+def paragraph_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n\n",
+    min_len: int = 1,
+):
+    """Corpus-wide paragraph dedup (CCNet-style boilerplate removal): a
+    paragraph that occurs more than once survives ONLY at its first
+    occurrence in global (id, paragraph-index) order; every doc is
+    reassembled from its surviving paragraphs in original order (row
+    count preserved — a fully-boilerplate doc becomes an empty string).
+    Paragraphs shorter than ``min_len`` are never deduped (default 1:
+    empty paragraphs from consecutive separators are structural).
+
+    Scale shape (the neardup-v4 recompute trick, steps/dedup.py): doc
+    text NEVER leaves its block. Pass 1 streams an 8 B/paragraph hash to
+    the driver (same bounded gather as steps/extract.py exact_dedup —
+    above ~10^10 paragraphs swap passes 1-2 for the documented
+    groupby(h)-count>1 plan). Pass 2 refines the h64 candidate set with
+    a second independent hash and picks winners, so a wrong drop needs a
+    128-bit collision. Pass 3 re-splits each doc locally, recomputes
+    hashes, and keeps (non-dup | winner | short) paragraphs — only the
+    winner map is broadcast (ray.put once; small while duplication is
+    boilerplate-sparse, the same caveat as the neardup drop set)."""
+    import ray
+
+    h41 = _para_hash_factory(41)
+    h97 = _para_hash_factory(97)
+
+    def para_hashes(t: pa.Table) -> pa.Table:
+        _, _, flat = _flat_paragraphs(t, id_col, text_col, sep)
+        ok = np.asarray(pc.utf8_length(flat)) >= min_len
+        h = h41(flat)[ok] if len(flat) else np.array([], dtype=np.int64)
+        return pa.table({"__h1": pa.array(h, pa.int64())})
+
+    # pass 1: candidate duplicate h1 values (8 B/paragraph gather + sort)
+    chunks = [
+        b["__h1"].to_numpy()
+        for b in ds.map_batches(para_hashes, batch_format="pyarrow").iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    winners: dict[tuple[int, int], tuple] = {}
+    dup_sorted = np.array([], dtype=np.int64)
+    if chunks:
+        allh = np.concatenate(chunks)
+        allh.sort()
+        if len(allh) > 1:
+            dup_sorted = np.unique(allh[:-1][allh[:-1] == allh[1:]])
+
+    if len(dup_sorted):
+        _dup = dup_sorted
+
+        def cand_rows(t: pa.Table) -> pa.Table:
+            ids, pidx, flat = _flat_paragraphs(t, id_col, text_col, sep)
+            if not len(flat):
+                return pa.table(
+                    {"__id": ids, "__pidx": pa.array([], pa.int64()),
+                     "__h1": pa.array([], pa.int64()), "__h2": pa.array([], pa.int64())}
+                )
+            h1 = h41(flat)
+            pos = np.searchsorted(_dup, h1)
+            pos[pos == len(_dup)] = 0
+            mask = (_dup[pos] == h1) & (np.asarray(pc.utf8_length(flat)) >= min_len)
+            keep = np.nonzero(mask)[0]
+            flat_k = flat.take(pa.array(keep))
+            return pa.table(
+                {
+                    "__id": ids.take(pa.array(keep)),
+                    "__pidx": pa.array(pidx[keep], pa.int64()),
+                    "__h1": pa.array(h1[keep], pa.int64()),
+                    "__h2": pa.array(h97(flat_k), pa.int64()),
+                }
+            )
+
+        # pass 2: winners among TRUE duplicates only (candidate rows are
+        # a tiny fraction of the corpus — the boilerplate)
+        cand = ds.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
+        grp: dict[tuple[int, int], list[tuple]] = {}
+        for i, j, a, b in zip(cand["__id"], cand["__pidx"], cand["__h1"], cand["__h2"]):
+            grp.setdefault((int(a), int(b)), []).append((i, int(j)))
+        winners = {k: min(v) for k, v in grp.items() if len(v) > 1}
+
+    winners_ref = ray.put(winners)
+    _dup_b = dup_sorted
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        wmap = ray.get(winners_ref)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        if not wmap:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    text_col: texts,
+                    "n_dropped_paragraphs": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+        ids_flat, pidx, flat = _flat_paragraphs(t, id_col, text_col, sep)
+        h1 = h41(flat) if len(flat) else np.array([], dtype=np.int64)
+        pos = np.searchsorted(_dup_b, h1)
+        pos[pos == len(_dup_b)] = 0
+        cand_mask = (_dup_b[pos] == h1) & (np.asarray(pc.utf8_length(flat)) >= min_len)
+        keep_mask = np.ones(len(flat), dtype=bool)
+        if cand_mask.any():
+            h2 = h97(flat)
+            ids_py = ids_flat.to_pylist()
+            for x in np.nonzero(cand_mask)[0]:
+                w = wmap.get((int(h1[x]), int(h2[x])))
+                if w is not None and w != (ids_py[x], int(pidx[x])):
+                    keep_mask[x] = False
+        # reassemble per doc (paragraph lists are per-row local)
+        parents = pc.list_parent_indices(
+            pc.split_pattern(texts, sep)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        paras_py = flat.to_pylist()
+        kept_per_row: list[list[str]] = [[] for _ in range(t.num_rows)]
+        drops = np.zeros(t.num_rows, dtype=np.int64)
+        for x in range(len(paras_py)):
+            if keep_mask[x]:
+                kept_per_row[parents[x]].append(paras_py[x])
+            else:
+                drops[parents[x]] += 1
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: pa.array([sep.join(ps) for ps in kept_per_row], pa.string()),
+                "n_dropped_paragraphs": pa.array(drops, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

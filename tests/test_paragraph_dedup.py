@@ -1,0 +1,119 @@
+"""CCNet-style paragraph dedup: DuckDB gap-free oracle over the driver
+documents table plus synthetic boilerplate behavior checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kgforge.dedup_ops import paragraph_dedup
+from kgforge.relational import read
+
+SF = "/root/testdata/sf0.001"
+
+ORACLE_SQL = """
+WITH paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10)||chr(10))) AS p,
+         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS pidx
+  FROM documents
+), marked AS (
+  SELECT doc_id, pidx, p,
+         (length(p) < 1)
+           OR (row_number() OVER (PARTITION BY p ORDER BY doc_id, pidx) = 1) AS keep
+  FROM paras
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN p END, chr(10)||chr(10) ORDER BY pidx), '')
+         AS text,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped_paragraphs
+FROM marked GROUP BY doc_id
+"""
+
+
+def _oracle(df_docs: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", df_docs)
+    try:
+        return con.execute(ORACLE_SQL).df()
+    finally:
+        con.close()
+
+
+def _assert_matches_oracle(got: pd.DataFrame, docs: pd.DataFrame):
+    want = _oracle(docs)
+    got = got.sort_values("doc_id", ignore_index=True)
+    want = want.sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["n_dropped_paragraphs"].astype(int).tolist() == want[
+        "n_dropped_paragraphs"
+    ].astype(int).tolist()
+
+
+def _boilerplate_corpus() -> pd.DataFrame:
+    header = "SITE NAVIGATION MENU"
+    footer = "Copyright 2024 Example Corp. All rights reserved."
+    rows = []
+    for i in range(40):
+        body = f"Unique article body number {i} with its own words."
+        rows.append((i, f"{header}\n\n{body}\n\n{footer}"))
+    rows.append((100, header))          # fully-boilerplate doc
+    rows.append((101, ""))              # empty doc
+    rows.append((102, "One of a kind paragraph.\n\n\n\nTrailing after empties."))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_paragraph_dedup_matches_oracle_on_boilerplate(ray_session):
+    docs = _boilerplate_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    got = paragraph_dedup(ds).to_pandas()
+    _assert_matches_oracle(got, docs)
+    # spot semantics: doc 0 keeps everything, later docs lose both
+    # boilerplate paragraphs, the all-boilerplate doc empties out
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "n_dropped_paragraphs"] == 0
+    assert by_id.loc[5, "n_dropped_paragraphs"] == 2
+    assert "SITE NAVIGATION" not in by_id.loc[5, "text"]
+    assert "Unique article body number 5" in by_id.loc[5, "text"]
+    assert by_id.loc[100, "text"] == ""   # header already seen in doc 0
+    assert by_id.loc[101, "text"] == ""
+    assert by_id.loc[102, "text"] == docs.set_index("doc_id").loc[102, "text"]
+
+
+def test_paragraph_dedup_matches_oracle_on_documents_table(ray_session):
+    ds = read(SF, "documents", ["doc_id", "text"])
+    got = paragraph_dedup(ds).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    _assert_matches_oracle(got, docs)
+
+
+def test_paragraph_dedup_idempotent(ray_session):
+    docs = _boilerplate_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    once = paragraph_dedup(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    again_ds = rd.from_arrow(
+        pa.Table.from_pandas(once[["doc_id", "text"]], preserve_index=False)
+    )
+    twice = paragraph_dedup(again_ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert twice["n_dropped_paragraphs"].sum() == 0
+    assert twice["text"].tolist() == once["text"].tolist()
+
+
+def test_paragraph_dedup_min_len_protects_short_paragraphs(ray_session):
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["ok\n\nshared paragraph", "ok\n\nshared paragraph"]}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    got = (
+        paragraph_dedup(ds, min_len=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # 'ok' is under min_len → survives everywhere; the long paragraph dedups
+    assert got.loc[0, "text"] == "ok\n\nshared paragraph"
+    assert got.loc[1, "text"] == "ok"
+    assert got["n_dropped_paragraphs"].tolist() == [0, 1]
