@@ -147,11 +147,14 @@ def _apply_specs(
         elif fn == "first_value":
             g[out] = g[s["col"]].iloc[0] if n else None
         elif fn == "cumsum":
-            g[out] = g[s["col"]].cumsum()
+            # SQL running sum SKIPS nulls (null only until the first
+            # non-null); pandas cumsum would pin NaN at the null row
+            vals = g[s["col"]]
+            g[out] = vals.fillna(0).cumsum().where(vals.notna().cumsum() > 0)
         elif fn == "cummin":
-            g[out] = g[s["col"]].cummin()
+            g[out] = g[s["col"]].cummin().ffill()
         elif fn == "cummax":
-            g[out] = g[s["col"]].cummax()
+            g[out] = g[s["col"]].cummax().ffill()
         elif fn == "rolling_sum":
             g[out] = g[s["col"]].rolling(int(s["window"]), min_periods=1).sum()
         elif fn == "rolling_mean":
