@@ -245,8 +245,9 @@ def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.Data
         elif fn == "max":
             ray_aggs.append(Max(col, alias_name=f"__max_{out}"))
         elif fn == "mean":
+            # SQL avg divides by the NON-NULL count of col, not count(*)
             ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
-            ray_aggs.append(Count(alias_name=f"__cnt_{out}"))
+            ray_aggs.append(Count(col, ignore_nulls=True, alias_name=f"__cnt_{out}"))
         else:
             raise ValueError(f"unsupported agg fn {fn!r}; algebraic fns: {_ALGEBRAIC}")
     # Count() counts rows; dedup identical aliases (mean+count on same out)
@@ -257,29 +258,44 @@ def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.Data
         if alias not in names:
             names.add(alias)
             uniq.append(ra)
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*uniq).to_pandas()
+    base = ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*uniq).to_pandas()
+    if base.empty:
+        # empty input: pin the expected columns so the grand-total row
+        # can still be derived (SQL ROLLUP over an empty table emits it)
+        base = pd.DataFrame({c: pd.Series(dtype=float) for c in keys + sorted(names)})
+    return base
 
 
 def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> pd.DataFrame:
     """Collapse the finest partials to one grouping set (pandas, small)."""
+    # SQL sum/avg over ZERO non-null inputs is NULL, not 0 → min_count=1
+    def _sum_null_if_empty(s: pd.Series):
+        return s.sum(min_count=1)
+
     how = {}
     for a in aggs:
         fn, out = a["fn"], a["out"]
         if fn in ("count",):
             how[f"__cnt_{out}"] = "sum"
         elif fn == "sum":
-            how[f"__sum_{out}"] = "sum"
+            how[f"__sum_{out}"] = _sum_null_if_empty
         elif fn == "min":
             how[f"__min_{out}"] = "min"
         elif fn == "max":
             how[f"__max_{out}"] = "max"
         elif fn == "mean":
-            how[f"__sum_{out}"] = "sum"
+            how[f"__sum_{out}"] = _sum_null_if_empty
             how[f"__cnt_{out}"] = "sum"
     if sub_keys:
         g = base.groupby(sub_keys, dropna=False).agg(how).reset_index()
     else:
-        g = base.agg(how).to_frame().T.reset_index(drop=True)
+        # pandas .agg chokes on a string/callable mix over an empty
+        # frame — compute the single grand-total row explicitly
+        row = {
+            col: (op(base[col]) if callable(op) else getattr(base[col], op)())
+            for col, op in how.items()
+        }
+        g = pd.DataFrame([row])
     for a in aggs:
         fn, out = a["fn"], a["out"]
         if fn == "count":

@@ -322,3 +322,101 @@ def test_pivot_mean_vs_duckdb(ray_session):
         """
     )
     _assert_frames_equal(got, want, {"F": 6, "O": 6})
+
+
+# ---------------------------------------------------------------------------
+# null / empty edge cases vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+def _duck_df(sql: str, df: pd.DataFrame) -> pd.DataFrame:
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.register("t", df)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_rollup_null_group_keys_and_null_values(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {
+            "a": ["p", None, "p", None, "q"],
+            "x": [1.0, 2.0, None, 4.0, None],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = rollup(
+        ds,
+        ["a"],
+        [
+            {"fn": "count", "out": "n"},
+            {"fn": "sum", "col": "x", "out": "s"},
+            {"fn": "mean", "col": "x", "out": "m"},
+        ],
+    )
+    want = _duck_df(
+        """
+        SELECT a, count(*) AS n, sum(x) AS s, avg(x) AS m,
+               CAST(GROUPING(a) AS BIGINT) AS grouping_id
+        FROM t GROUP BY ROLLUP (a)
+        """,
+        df,
+    )
+    got["n"] = got["n"].astype("int64")
+    want["n"] = want["n"].astype("int64")
+    _assert_frames_equal(
+        _norm_gid_simple(got), _norm_gid_simple(want), {"s": 9, "m": 9}
+    )
+
+
+def _norm_gid_simple(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["grouping_id"] = df["grouping_id"].astype("int64")
+    return df
+
+
+def test_rollup_empty_input_emits_grand_total(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    empty = pa.table({"a": pa.array([], pa.string()), "x": pa.array([], pa.float64())})
+    got = rollup(
+        rd.from_arrow(empty),
+        ["a"],
+        [
+            {"fn": "count", "out": "n"},
+            {"fn": "sum", "col": "x", "out": "s"},
+        ],
+    )
+    want = _duck_df(
+        """
+        SELECT a, count(*) AS n, sum(x) AS s,
+               CAST(GROUPING(a) AS BIGINT) AS grouping_id
+        FROM t GROUP BY ROLLUP (a)
+        """,
+        empty.to_pandas(),
+    )
+    assert len(got) == len(want) == 1
+    assert int(got["n"].iloc[0]) == 0 and int(want["n"].iloc[0]) == 0
+    assert pd.isna(got["s"].iloc[0]) and pd.isna(want["s"].iloc[0])
+    assert int(got["grouping_id"].iloc[0]) == 1
+
+
+def test_mean_all_null_group_is_null(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    df = pd.DataFrame({"a": ["p", "p", "q"], "x": [None, None, 3.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouping_sets(
+        ds, ["a"], [["a"]],
+        [{"fn": "sum", "col": "x", "out": "s"}, {"fn": "mean", "col": "x", "out": "m"}],
+    ).sort_values("a", ignore_index=True)
+    assert pd.isna(got.loc[0, "s"]) and pd.isna(got.loc[0, "m"])  # p: all null
+    assert got.loc[1, "s"] == 3.0 and got.loc[1, "m"] == 3.0
