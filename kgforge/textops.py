@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -161,3 +162,88 @@ def token_count_ds(ds, text_col: str = "text", out_col: str = "n_tokens"):
         ),
         batch_format="pyarrow",
     )
+
+
+# --- tokenize + fixed-length sequence packing (training-data prep) ----------
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+")
+
+
+def pack_sequences(
+    ds,
+    text_col: str = "text",
+    *,
+    seq_len: int = 512,
+    eos_id: int = 0,
+    vocab_size: int = 50000,
+    drop_remainder: bool = True,
+):
+    """Tokenize docs and pack them into fixed-length id sequences (the
+    standard LM training-prep step): within each batch, docs are
+    tokenized (the BPE-ish regex classes of q_doc_bpe_token_counts),
+    hashed to ids in [1, vocab_size) — id 0 is reserved for the EOS
+    separator appended after every doc — concatenated, and chunked to
+    ``seq_len``.
+
+    Packing is BATCH-LOCAL by design: a global cross-block carry chain
+    would serialize the pipeline at scale; per-batch tail remainders are
+    dropped (``drop_remainder=True``, the usual LM choice) or emitted as
+    a short final sequence (False — token-conserving under ANY
+    partitioning, which the tests exploit).  Token→id is deterministic
+    everywhere (blake2b over the batch's UNIQUE tokens only — Zipf reuse
+    makes that cheap — then a vectorized gather), so the same corpus
+    packs to the same ids on any run, block layout or cluster size.
+    A real external tokenizer slots in the same way the multimodal
+    decoder does: as an actor-pool ``map_batches`` class with the model
+    loaded in ``__init__``.
+
+    Output rows: ``seq`` (list<int32>, length seq_len except an optional
+    short final per batch), ``n_tokens`` (int64 — non-pad length).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if not 1 < vocab_size:
+        raise ValueError("vocab_size must be > 1")
+
+    import pandas as _pd
+
+    def pack(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        toks_per_doc = [_BPE_ISH.findall(x or "") for x in texts]
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        n_docs = len(texts)
+        if flat:
+            codes, uniques = _pd.factorize(np.asarray(flat, dtype=object))
+            ids_u = np.array(
+                [1 + stable_u64(u, "tokpack") % (vocab_size - 1) for u in uniques],
+                dtype=np.int32,
+            )
+            flat_ids = ids_u[codes]
+        else:
+            flat_ids = np.array([], dtype=np.int32)
+        # interleave EOS after each doc: positions after cumulative doc lengths
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        stream = np.full(int(lens.sum()) + n_docs, eos_id, dtype=np.int32)
+        # token positions: shift each doc's slice right by its doc index
+        tok_pos = np.arange(len(flat_ids), dtype=np.int64) + np.repeat(
+            np.arange(n_docs, dtype=np.int64), lens
+        )
+        stream[tok_pos] = flat_ids
+        n_full = len(stream) // seq_len
+        seqs = [stream[i * seq_len : (i + 1) * seq_len] for i in range(n_full)]
+        rem = stream[n_full * seq_len :]
+        if len(rem) and not drop_remainder:
+            seqs.append(rem)
+        if not seqs:
+            return pa.table(
+                {"seq": pa.array([], pa.list_(pa.int32())),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "seq": pa.array([s.tolist() for s in seqs], pa.list_(pa.int32())),
+                "n_tokens": pa.array([len(s) for s in seqs], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow")
