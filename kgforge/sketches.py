@@ -126,8 +126,11 @@ def _td_quantile(cents: np.ndarray, q: float) -> float:
 
 class TDigestQuantiles(AggregateFnV2):
     """Approximate quantiles of a numeric column; finalize → dict
-    {q: estimate}. ``delta`` trades accuracy for sketch size (~delta
-    (mean, weight) float64 pairs cross the shuffle per block)."""
+    {"q<q>": estimate} (string keys: a grouped aggregate's result
+    column must convert to an Arrow struct, which rejects float keys).
+    ``delta`` trades accuracy for sketch size (~delta (mean, weight)
+    float64 pairs cross the shuffle per block). Works globally AND
+    under ``groupby(...).aggregate(...)``."""
 
     def __init__(self, on: str, quantiles: tuple[float, ...] = (0.5,),
                  delta: int = 200, alias_name: str | None = None):
@@ -159,8 +162,8 @@ class TDigestQuantiles(AggregateFnV2):
             return both
         return _td_compress(both, self._delta)
 
-    def finalize(self, accumulator: np.ndarray) -> dict[float, float]:
-        return {q: _td_quantile(accumulator, q) for q in self._qs}
+    def finalize(self, accumulator: np.ndarray) -> dict[str, float]:
+        return {f"q{q:g}": _td_quantile(accumulator, q) for q in self._qs}
 
 
 # --- Misra-Gries heavy hitters ---------------------------------------------

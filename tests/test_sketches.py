@@ -73,11 +73,11 @@ def test_tdigest_quantiles_accuracy_and_block_invariance():
         results.append(est)
         for q, e in exact.items():
             spread = exact[0.99] - exact[0.01]
-            assert abs(est[q] - e) <= 0.02 * spread + 1e-9, (parts, q, est[q], e)
+            assert abs(est[f"q{q:g}"] - e) <= 0.02 * spread + 1e-9, (parts, q, est[f"q{q:g}"], e)
     # mergeability: the digest is deterministic given the same block set,
     # and estimates stay within tolerance across layouts
     for q in exact:
-        assert abs(results[0][q] - results[1][q]) <= 0.02 * (exact[0.99] - exact[0.01])
+        assert abs(results[0][f"q{q:g}"] - results[1][f"q{q:g}"]) <= 0.02 * (exact[0.99] - exact[0.01])
 
 
 def test_tdigest_empty_and_single():
@@ -89,12 +89,12 @@ def test_tdigest_empty_and_single():
     from kgforge.sketches import TDigestQuantiles
 
     one = rd.from_arrow(pa.table({"v": pa.array([42.0], pa.float64())}))
-    assert one.aggregate(TDigestQuantiles("v", (0.5,), alias_name="td"))["td"][0.5] == 42.0
+    assert one.aggregate(TDigestQuantiles("v", (0.5,), alias_name="td"))["td"]["q0.5"] == 42.0
     empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     est = empty.aggregate(TDigestQuantiles("v", (0.5,), alias_name="td"))
     # Ray returns None (or an alias→None row) for an empty aggregate
     val = est.get("td") if isinstance(est, dict) else est
-    assert val is None or math.isnan(val[0.5])
+    assert val is None or math.isnan(val["q0.5"])
 
 
 def test_topk_frequent_zipf_guarantee():
@@ -122,3 +122,33 @@ def test_topk_frequent_zipf_guarantee():
     assert got_keys[:3] == [k for k, _ in top_true[:3]]
     for key, lower in out:
         assert lower <= true_counts[key], (key, lower, true_counts[key])
+
+
+def test_sketches_work_under_groupby(ray_session):
+    """Grouped sketch aggregates: per-group t-digest + HLL in one pass
+    (the string-keyed finalize is what lets the result column convert
+    to an Arrow struct)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.sketches import HllDistinct, TDigestQuantiles
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 3, 30000)
+    v = rng.normal(g * 10.0, 1.0, 30000)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)})).repartition(8)
+    out = (
+        ds.groupby("g")
+        .aggregate(
+            TDigestQuantiles("v", quantiles=(0.5,), alias_name="med"),
+            HllDistinct("v", alias_name="nd"),
+        )
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    for _, row in out.iterrows():
+        med = row["med"]["q0.5"]
+        assert abs(med - row["g"] * 10.0) < 0.2
+        n_true = int((g == row["g"]).sum())
+        assert abs(row["nd"] - n_true) / n_true < 0.05
