@@ -534,3 +534,96 @@ def paragraph_dedup(
         )
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def exact_dedup_filter(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Filtering form of exact dedup: keep exactly ONE row (min id) per
+    distinct text, streaming the rest out — the form a curation pipeline
+    composes (exact_dedup above returns the per-content groups instead).
+
+    Same scale shape as paragraph_dedup: pass 1 gathers 8 B/doc content
+    hashes, pass 2 refines h64 candidates with an independent second
+    hash and picks min-id winners (wrong drop needs a 128-bit
+    collision), pass 3 filters with the broadcast winner map — text
+    never leaves its block, and only duplicated content reaches the
+    driver."""
+    import ray
+
+    h41 = _para_hash_factory(141)
+    h97 = _para_hash_factory(197)
+
+    def _texts(t: pa.Table) -> pa.Array:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pc.fill_null(texts, "")
+
+    chunks = [
+        b["__h1"].to_numpy()
+        for b in ds.map_batches(
+            lambda t: pa.table({"__h1": pa.array(h41(_texts(t)), pa.int64())}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=262144, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    dup_sorted = np.array([], dtype=np.int64)
+    if chunks:
+        allh = np.concatenate(chunks)
+        allh.sort()
+        if len(allh) > 1:
+            dup_sorted = np.unique(allh[:-1][allh[:-1] == allh[1:]])
+
+    winners: dict[tuple[int, int], object] = {}
+    if len(dup_sorted):
+        _dup = dup_sorted
+
+        def cand_rows(t: pa.Table) -> pa.Table:
+            texts = _texts(t)
+            h1 = h41(texts)
+            pos = np.searchsorted(_dup, h1)
+            pos[pos == len(_dup)] = 0
+            keep = np.nonzero(_dup[pos] == h1)[0]
+            texts_k = texts.take(pa.array(keep))
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table(
+                {
+                    "__id": ids.take(pa.array(keep)),
+                    "__h1": pa.array(h1[keep], pa.int64()),
+                    "__h2": pa.array(
+                        h97(texts_k) if len(keep) else np.array([], dtype=np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        cand = ds.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
+        grp: dict[tuple[int, int], list] = {}
+        for i, a, b in zip(cand["__id"], cand["__h1"], cand["__h2"]):
+            grp.setdefault((int(a), int(b)), []).append(i)
+        winners = {k: min(v) for k, v in grp.items() if len(v) > 1}
+
+    winners_ref = ray.put(winners)
+    _dup_b = dup_sorted
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        wmap = ray.get(winners_ref)
+        if not wmap:
+            return t
+        texts = _texts(t)
+        h1 = h41(texts)
+        pos = np.searchsorted(_dup_b, h1)
+        pos[pos == len(_dup_b)] = 0
+        cand_mask = _dup_b[pos] == h1
+        keep = np.ones(t.num_rows, dtype=bool)
+        if cand_mask.any():
+            h2 = h97(texts)
+            ids = t[id_col].to_pylist()
+            for x in np.nonzero(cand_mask)[0]:
+                w = wmap.get((int(h1[x]), int(h2[x])))
+                if w is not None and w != ids[x]:
+                    keep[x] = False
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

@@ -1,0 +1,111 @@
+"""End-to-end web-corpus curation pipeline (task brief: the
+LLM-training-data path as a first-class composition):
+
+    lang-ID filter → quality filter → exact dedup (content-keyed,
+    keep min id) → MinHash-LSH near-dup drop (keep cluster min) →
+    CCNet paragraph dedup → token packing
+
+Every stage is the library operator it names (textops / dedup_ops), so
+the pipeline inherits each operator's scale shape: filters are
+vectorized ``map_batches``, dedup passes move hashes not text, the
+near-dup drop set and paragraph winner map broadcast once, and packing
+is batch-local.  Stages materialize between steps so the per-stage
+row counts in ``stats`` are metadata reads, not re-executions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from kgforge.dedup_ops import exact_dedup_filter, minhash_clusters, paragraph_dedup
+from kgforge.textops import add_lang_id, add_quality, pack_sequences
+
+
+@dataclass
+class CurationResult:
+    docs: Dataset                 # curated (id, text, n_dropped_paragraphs)
+    packed: Dataset | None        # fixed-length token sequences (if pack=True)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def curate_corpus(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.35,
+    neardup_threshold: float = 0.7,
+    seq_len: int = 1024,
+    pack: bool = True,
+) -> CurationResult:
+    stats: dict[str, Any] = {"input_docs": ds.count()}
+
+    # 1. language filter (n-gram heuristic lang-ID, vectorized filter)
+    lang_arr = pa.array(list(langs), pa.string())
+    cur = add_lang_id(ds, text_col).map_batches(
+        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=lang_arr)),
+        batch_format="pyarrow",
+    )
+
+    # 2. quality filter (length/punct/stopword/distinct composite score)
+    cur = add_quality(cur, text_col).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
+        batch_format="pyarrow",
+    )
+    cur = cur.select_columns([id_col, text_col]).materialize()
+    stats["after_lang_quality"] = cur.count()
+
+    # 3. exact dedup: one survivor (min id) per distinct text
+    cur = exact_dedup_filter(cur, id_col, text_col).materialize()
+    stats["after_exact_dedup"] = cur.count()
+
+    # 4. near-dup drop: MinHash-LSH clusters, keep each cluster's min id.
+    #    The drop set is small (boilerplate-sparse assumption, same as
+    #    the flagship's neardup drop set) and ships by closure.
+    cmap = minhash_clusters(cur, id_col, text_col, neardup_threshold)
+    # cmap's canonical is the min STRING member (ids are cast to string
+    # inside the LSH engine); re-pick the keeper in the id column's own
+    # order so integer ids keep the numerically smallest ("7", not "101")
+    clusters: dict[str, list[str]] = {}
+    for k, v in cmap.items():
+        clusters.setdefault(v, []).append(k)
+    drop: set[str] = set()
+    if clusters:
+        id_is_int = pa.types.is_integer(cur.schema().base_schema.field(id_col).type)
+        for members in clusters.values():
+            keeper = min(members, key=int) if id_is_int else min(members)
+            drop.update(m for m in members if m != keeper)
+    if drop:
+        drop_arr = pa.array(sorted(drop), pa.string())
+        cur = cur.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.is_in(pc.cast(t[id_col], pa.string()), value_set=drop_arr)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    cur = cur.materialize()
+    stats["after_neardup"] = cur.count()
+    stats["neardup_clusters"] = len(set(cmap.values()))
+
+    # 5. paragraph-level boilerplate dedup (text never leaves its block)
+    cur = paragraph_dedup(cur, id_col, text_col).materialize()
+    dropped = cur.aggregate(Sum("n_dropped_paragraphs", alias_name="s"))
+    stats["paragraphs_dropped"] = int(dropped["s"] or 0)
+
+    packed = None
+    if pack:
+        packed = pack_sequences(cur, text_col, seq_len=seq_len).materialize()
+        stats["packed_sequences"] = packed.count()
+        stats["packed_tokens"] = stats["packed_sequences"] * seq_len
+
+    return CurationResult(docs=cur, packed=packed, stats=stats)

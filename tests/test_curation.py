@@ -1,0 +1,94 @@
+"""End-to-end corpus-curation pipeline: every stage must do its one
+job on a corpus engineered to exercise all of them, and the composed
+invariants (unique texts, no near-dups above threshold, packing
+conservation) must hold on the final artifact."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kgforge.dedup_ops import exact_dedup_filter
+from kgforge.pipelines.curation import curate_corpus
+
+HEADER = "SITE NAVIGATION MENU home about contact products and the full index"
+FOOTER = "Copyright 2024 by the Example Corp with all of the rights reserved"
+
+
+def _en_body(i: int) -> str:
+    # a real English skeleton (for lang-ID) + a per-doc disjoint
+    # vocabulary so distinct docs do NOT near-dup on each other: only
+    # the shared header/footer boilerplate overlaps, well under any
+    # sane Jaccard threshold
+    uniq = " ".join(f"topic{i}word{j}{(i * 31 + j * 7) % 97}" for j in range(30))
+    return f"the article number {i} is about the following things {uniq}"
+
+
+def _corpus() -> pd.DataFrame:
+    rows = []
+    for i in range(30):  # good english docs with shared boilerplate
+        rows.append((i, f"{HEADER}\n\n{_en_body(i)}\n\n{FOOTER}"))
+    rows.append((100, rows[3][1]))      # exact dup of doc 3 (higher id → dropped)
+    rows.append((101, f"{HEADER}\n\n{_en_body(7)} extra tail!\n\n{FOOTER}"))  # near-dup of 7
+    rows.append((200, "der die und nicht das ist ein eine mit von der die und "
+                      "nicht das ist ein eine mit von der die und nicht"))    # german
+    rows.append((201, "!!! ??? ... !!! ??? ... !!! ???"))                     # junk quality
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_dedup_filter_vs_duckdb(ray_session):
+    import duckdb
+
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    got = exact_dedup_filter(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        """
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_curate_corpus_stage_by_stage(ray_session):
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    res = curate_corpus(ds, min_quality=0.2, neardup_threshold=0.6, seq_len=64)
+    s = res.stats
+    assert s["input_docs"] == 34
+    # german + junk-quality docs removed
+    assert s["after_lang_quality"] == 32
+    # exact dup of doc 3 removed
+    assert s["after_exact_dedup"] == 31
+    # near-dup 101 clusters with 7; min id 7 survives
+    assert s["after_neardup"] == 30
+    out = res.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert set(out["doc_id"]) == set(range(30))
+    # paragraph dedup stripped header+footer everywhere but the first doc
+    assert s["paragraphs_dropped"] == 29 * 2
+    texts = out.set_index("doc_id")["text"]
+    assert HEADER in texts.loc[0] and FOOTER in texts.loc[0]
+    assert HEADER not in texts.loc[12] and FOOTER not in texts.loc[12]
+    assert f"article number 12" in texts.loc[12]
+    # packing: fixed-length sequences, token count consistent with stats
+    packed = res.packed.to_pandas()
+    assert s["packed_sequences"] == len(packed)
+    assert all(len(sq) == 64 for sq in packed["seq"])
+
+
+def test_curate_corpus_no_pack_and_empty(ray_session):
+    docs = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                         "text": pd.array([], dtype="str")})
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    res = curate_corpus(ds, pack=False)
+    assert res.packed is None
+    assert res.stats["input_docs"] == 0
+    assert res.docs.count() == 0
