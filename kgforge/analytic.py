@@ -237,7 +237,12 @@ def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.Data
     for a in aggs:
         fn, col, out = a["fn"], a.get("col"), a["out"]
         if fn == "count":
-            ray_aggs.append(Count(alias_name=f"__cnt_{out}"))
+            # count(*) without col; SQL count(col) (non-null only) with
+            ray_aggs.append(
+                Count(col, ignore_nulls=True, alias_name=f"__cnt_{out}")
+                if col
+                else Count(alias_name=f"__cnt_{out}")
+            )
         elif fn == "sum":
             ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
         elif fn == "min":
@@ -385,9 +390,13 @@ def pivot(
         raise ValueError(f"unsupported pivot agg {agg!r}")
     fine = ds.groupby([index, pivot_col]).aggregate(
         *(
-            [Count(alias_name="__cnt___v")]
+            [Count(value_col, ignore_nulls=True, alias_name="__cnt___v")]
             if agg == "count"
-            else [Sum(value_col, alias_name="__sum___v"), Count(alias_name="__cnt___v")]
+            else [
+                Sum(value_col, alias_name="__sum___v"),
+                # SQL avg divides by the NON-NULL count of value_col
+                Count(value_col, ignore_nulls=True, alias_name="__cnt___v"),
+            ]
             if agg == "mean"
             else [
                 {"sum": Sum, "min": Min, "max": Max}[agg](
@@ -397,12 +406,18 @@ def pivot(
         )
     )
     if values is None:
-        vals = sorted(
+        # discovery consumes `fine` once and widen consumes it again —
+        # materialize so the groupby shuffle doesn't execute twice
+        fine = fine.materialize()
+        found = (
             fine.groupby(pivot_col)
             .aggregate(Count(alias_name="__n"))
             .to_pandas()[pivot_col]
             .tolist()
         )
+        # a NULL pivot value cannot become a column (SQL PIVOT ... IN
+        # lists only real values); rows with it are dropped like SQL does
+        vals = sorted(v for v in found if v is not None and v == v)
     else:
         vals = list(values)
     col_names = [str(v) for v in vals]

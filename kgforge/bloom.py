@@ -125,10 +125,16 @@ class BloomSketch(AggregateFnV2):
 
 
 def build_bloom(ds: Dataset, key_col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
-    """Distributed build: one mergeable aggregate over the build side."""
+    """Distributed build: one mergeable aggregate over the build side.
+    An EMPTY build side (e.g. a fully-filtered dimension) yields the
+    all-zero reject-everything filter — Ray's empty aggregate returns a
+    None-valued row, not an accumulator."""
     m, k = _params_for(capacity, fpp)
     row = ds.aggregate(BloomSketch(key_col, capacity, fpp, alias_name="bf"))
-    return BloomFilter(m, k, np.asarray(row["bf"], dtype=np.uint64))
+    words = row.get("bf") if isinstance(row, dict) else None
+    if words is None:
+        return BloomFilter(m, k)
+    return BloomFilter(m, k, np.asarray(words, dtype=np.uint64))
 
 
 def bloom_semi_filter(

@@ -347,8 +347,8 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
 
 def _flat_paragraphs(t: pa.Table, id_col: str, text_col: str, sep: str):
     """Vectorized per-batch paragraph explode: (ids-per-para, 0-based
-    pidx, flat paragraph StringArray). Arrow split_pattern + flatten —
-    no Python loop over rows or paragraphs."""
+    pidx, flat paragraph StringArray, parent row indices).  Arrow
+    split_pattern + flatten — no Python loop over rows or paragraphs."""
     texts = t[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -360,7 +360,7 @@ def _flat_paragraphs(t: pa.Table, id_col: str, text_col: str, sep: str):
     starts = np.cumsum(lengths) - lengths
     pidx = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(starts, lengths)
     ids = t[id_col].take(parents)
-    return ids, pidx, flat
+    return ids, pidx, flat, parents
 
 
 def _para_hash_factory(seed: int):
@@ -427,7 +427,7 @@ def paragraph_dedup(
     h97 = _para_hash_factory(97)
 
     def para_hashes(t: pa.Table) -> pa.Table:
-        _, _, flat = _flat_paragraphs(t, id_col, text_col, sep)
+        _, _, flat, _ = _flat_paragraphs(t, id_col, text_col, sep)
         ok = np.asarray(pc.utf8_length(flat)) >= min_len
         h = h41(flat)[ok] if len(flat) else np.array([], dtype=np.int64)
         return pa.table({"__h1": pa.array(h, pa.int64())})
@@ -452,7 +452,7 @@ def paragraph_dedup(
         _dup = dup_sorted
 
         def cand_rows(t: pa.Table) -> pa.Table:
-            ids, pidx, flat = _flat_paragraphs(t, id_col, text_col, sep)
+            ids, pidx, flat, _ = _flat_paragraphs(t, id_col, text_col, sep)
             if not len(flat):
                 return pa.table(
                     {"__id": ids, "__pidx": pa.array([], pa.int64()),
@@ -500,23 +500,31 @@ def paragraph_dedup(
                     ),
                 }
             )
-        ids_flat, pidx, flat = _flat_paragraphs(t, id_col, text_col, sep)
+        ids_flat, pidx, flat, parents_arr = _flat_paragraphs(t, id_col, text_col, sep)
         h1 = h41(flat) if len(flat) else np.array([], dtype=np.int64)
         pos = np.searchsorted(_dup_b, h1)
         pos[pos == len(_dup_b)] = 0
         cand_mask = (_dup_b[pos] == h1) & (np.asarray(pc.utf8_length(flat)) >= min_len)
+        if not cand_mask.any():
+            # no duplicated paragraph in this batch: rows pass untouched
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    text_col: texts,
+                    "n_dropped_paragraphs": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
         keep_mask = np.ones(len(flat), dtype=bool)
-        if cand_mask.any():
-            h2 = h97(flat)
-            ids_py = ids_flat.to_pylist()
-            for x in np.nonzero(cand_mask)[0]:
-                w = wmap.get((int(h1[x]), int(h2[x])))
-                if w is not None and w != (ids_py[x], int(pidx[x])):
-                    keep_mask[x] = False
-        # reassemble per doc (paragraph lists are per-row local)
-        parents = pc.list_parent_indices(
-            pc.split_pattern(texts, sep)
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = h97(flat)
+        ids_py = ids_flat.to_pylist()
+        for x in np.nonzero(cand_mask)[0]:
+            w = wmap.get((int(h1[x]), int(h2[x])))
+            if w is not None and w != (ids_py[x], int(pidx[x])):
+                keep_mask[x] = False
+        # reassemble per doc (parents come from the one split above)
+        parents = parents_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         paras_py = flat.to_pylist()
         kept_per_row: list[list[str]] = [[] for _ in range(t.num_rows)]
         drops = np.zeros(t.num_rows, dtype=np.int64)

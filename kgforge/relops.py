@@ -156,9 +156,17 @@ def sample_hash_u64(values: pa.Array | pa.ChunkedArray, seed: int) -> np.ndarray
     integer ids, blake2b (``stable_u64``) for strings.  Stable across
     processes, library versions and cluster layouts — the property the
     sampling contract needs (polars' hash seed schedule is not
-    version-pinned, so it is NOT used here)."""
+    version-pinned, so it is NOT used here).
+
+    Null ids hash as a fixed sentinel (0 / ""), so every null-id row
+    gets the SAME deterministic decision per seed — never the undefined
+    NaN→uint64 cast (platform-dependent) or a crash.  Callers that need
+    null-specific semantics (e.g. bloom's null-never-matches) mask nulls
+    themselves."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    if values.null_count:
+        values = values.fill_null(0 if pa.types.is_integer(values.type) else "")
     if pa.types.is_integer(values.type):
         ids = values.to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(ids ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))

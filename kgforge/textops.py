@@ -204,6 +204,11 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     if not 1 < vocab_size:
         raise ValueError("vocab_size must be > 1")
+    if 1 <= eos_id < vocab_size:
+        # token ids live in [1, vocab_size); a colliding eos_id would be
+        # indistinguishable from real tokens and silently corrupt doc
+        # boundaries for consumers that split on it
+        raise ValueError("eos_id must be 0, negative, or >= vocab_size")
 
     import pandas as _pd
 

@@ -420,3 +420,45 @@ def test_mean_all_null_group_is_null(ray_session):
     ).sort_values("a", ignore_index=True)
     assert pd.isna(got.loc[0, "s"]) and pd.isna(got.loc[0, "m"])  # p: all null
     assert got.loc[1, "s"] == 3.0 and got.loc[1, "m"] == 3.0
+
+
+def test_pivot_mean_and_count_with_null_values(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {"i": ["a", "a", "b"], "p": ["x", "x", "x"], "v": [2.0, None, 5.0]}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    m = pivot(ds, "i", "p", "v", agg="mean", values=["x"]).to_pandas()
+    m = m.set_index("i")["x"]
+    assert m["a"] == 2.0  # avg ignores the null, not 1.0
+    assert m["b"] == 5.0
+    c = pivot(ds, "i", "p", "v", agg="count", values=["x"]).to_pandas()
+    c = c.set_index("i")["x"]
+    assert int(c["a"]) == 1  # count(v) skips the null
+
+
+def test_pivot_discovery_skips_null_pivot_values(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    df = pd.DataFrame({"i": ["a", "a"], "p": ["x", None], "v": [1.0, 9.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = pivot(ds, "i", "p", "v", agg="sum").to_pandas()
+    assert sorted(out.columns) == ["i", "x"]  # no None column, no crash
+
+
+def test_grouping_count_col_skips_nulls(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "v": [1.0, None, 3.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouping_sets(
+        ds, ["a"], [["a"]],
+        [{"fn": "count", "out": "n_star"},
+         {"fn": "count", "col": "v", "out": "n_v"}],
+    ).sort_values("a", ignore_index=True)
+    assert got["n_star"].astype(int).tolist() == [2, 1]  # count(*)
+    assert got["n_v"].astype(int).tolist() == [1, 1]     # count(v)

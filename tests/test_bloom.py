@@ -81,3 +81,10 @@ def test_semi_filter_drops_null_keys(ray_session):
     t = pa.table({"k": pa.array([1, None, 2, 3], pa.int64())})
     out = bloom_semi_filter(rd.from_arrow(t), "k", bf).to_pandas()
     assert sorted(out["k"].tolist()) == [1, 2]
+
+
+def test_build_bloom_empty_build_side_rejects_all(ray_session):
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    bf = build_bloom(empty, "k", capacity=100, fpp=0.01)
+    probe = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    assert bloom_semi_filter(probe, "k", bf).count() == 0

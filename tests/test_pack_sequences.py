@@ -83,3 +83,12 @@ def test_pack_empty_and_validation(ray_session):
 
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(_docs_ds(["x"]), seq_len=0)
+
+
+def test_pack_rejects_colliding_eos(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="eos_id"):
+        pack_sequences(_docs_ds(["x"]), seq_len=4, eos_id=7)
+    # 0 and >= vocab_size are fine
+    pack_sequences(_docs_ds(["x y"]), seq_len=4, eos_id=0, drop_remainder=False).count()

@@ -206,3 +206,17 @@ def test_stratified_sample_string_ids(ray_session):
     b = stratified_sample(ds, "sid", 0.25, seed=11).to_pandas()
     assert sorted(a["sid"]) == sorted(b["sid"])
     assert 0.18 <= len(a) / 2000 <= 0.32
+
+
+def test_stratified_sample_null_ids_deterministic(ray_session):
+    t = pa.table({"k": pa.array([1, None, 2, None, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+    a = stratified_sample(ds, "k", 0.5, seed=2).to_pandas()
+    b = stratified_sample(ds, "k", 0.5, seed=2).to_pandas()
+    # no crash, no undefined NaN cast: identical decision every run,
+    # and all null ids share one decision
+    assert a["k"].isna().sum() == b["k"].isna().sum()
+    assert sorted(a["k"].fillna(-1)) == sorted(b["k"].fillna(-1))
+    s = pa.table({"k": pa.array(["a", None, "b"], pa.string())})
+    out = stratified_sample(rd.from_arrow(s), "k", 1.0, seed=1).to_pandas()
+    assert len(out) == 3  # string nulls don't crash; f=1.0 keeps all
