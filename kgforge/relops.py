@@ -228,3 +228,44 @@ def stratified_sample(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep_flat, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group cap / top-k per group (F6)
+# ---------------------------------------------------------------------------
+
+
+def top_k_per_group(
+    ds: Dataset,
+    group_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    k: int,
+    *,
+    descending: bool | Sequence[bool] = False,
+) -> Dataset:
+    """Keep the first ``k`` rows of every group in ``order_by`` order
+    (SQL ``row_number() OVER (PARTITION BY g ORDER BY o) <= k``) — the
+    per-domain quota / best-N-per-key curation step.
+
+    One shuffle (the groupby); the per-group head is a vectorized
+    sort+slice inside ``map_groups``.  Determinism requires unique
+    ORDER BY keys per group (append a tiebreak column, as SQL would).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    order_keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    asc = (
+        [not descending] * len(order_keys)
+        if isinstance(descending, bool)
+        else [not d for d in descending]
+    )
+    if len(asc) != len(order_keys):
+        raise ValueError("descending must be a bool or match order_by length")
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_keys, ascending=asc, kind="stable").head(k)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        head, batch_format="pandas"
+    )

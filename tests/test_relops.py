@@ -11,7 +11,12 @@ import pytest
 
 import ray.data as rd
 
-from kgforge.relops import broadcast_interval_join, stratified_sample, unnest
+from kgforge.relops import (
+    broadcast_interval_join,
+    stratified_sample,
+    top_k_per_group,
+    unnest,
+)
 from kgforge.relational import read
 
 SF = "/root/testdata/sf0.001"
@@ -220,3 +225,33 @@ def test_stratified_sample_null_ids_deterministic(ray_session):
     s = pa.table({"k": pa.array(["a", None, "b"], pa.string())})
     out = stratified_sample(rd.from_arrow(s), "k", 1.0, seed=1).to_pandas()
     assert len(out) == 3  # string nulls don't crash; f=1.0 keeps all
+
+
+# ---------------------------------------------------------------------------
+# top_k_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_top_k_per_group_vs_duckdb(ray_session):
+    ds = read(SF, "events", ["event_id", "user_id", "ts"])
+    got = top_k_per_group(
+        ds, "user_id", ["ts", "event_id"], 3, descending=[True, False]
+    ).to_pandas()
+    want = _duck_with_dim(
+        """
+        SELECT event_id, user_id, ts FROM (
+          SELECT event_id, user_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3
+        """,
+        pd.DataFrame({"x": [0]}),
+    )
+    _assert_equal(got, want)
+
+
+def test_top_k_per_group_validates(ray_session):
+    ds = read(SF, "events", ["event_id", "user_id"])
+    with pytest.raises(ValueError, match="k must be"):
+        top_k_per_group(ds, "user_id", "event_id", 0)
