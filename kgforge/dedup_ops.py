@@ -395,6 +395,54 @@ def _para_hash_factory(seed: int):
     return h
 
 
+#: above this many input DOCS the collision scan switches from the
+#: bounded driver gather (8 B/hash, one np.sort — fastest at bench
+#: scale) to the distributed groupby-count>1 plan where only the
+#: COLLIDING hashes ever reach the driver; override via
+#: KGFORGE_CONTENT_DEDUP_DIST_ROWS
+CONTENT_DEDUP_DIST_ROWS = 50_000_000
+
+
+def _dup_h1_values(h1_ds, n_docs_hint: int, strategy: str) -> np.ndarray:
+    """Sorted array of DUPLICATED ``__h1`` values from a one-column
+    int64 Dataset.  'driver' gathers every hash (8 B/row) and sorts;
+    'distributed' runs groupby(__h1).count() and returns only the
+    collisions — the hash column never concentrates on the driver
+    (local-mode caveat: Ray 2.49 pays ~7 µs/group on the mostly
+    singleton hashes, so 'auto' picks 'driver' below the threshold)."""
+    import os
+
+    if strategy == "auto":
+        limit = int(
+            os.environ.get("KGFORGE_CONTENT_DEDUP_DIST_ROWS", CONTENT_DEDUP_DIST_ROWS)
+        )
+        strategy = "distributed" if n_docs_hint > limit else "driver"
+    if strategy == "driver":
+        chunks = [
+            b["__h1"].to_numpy()
+            for b in h1_ds.iter_batches(batch_size=262144, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not chunks:
+            return np.array([], dtype=np.int64)
+        allh = np.concatenate(chunks)
+        allh.sort()
+        if len(allh) < 2:
+            return np.array([], dtype=np.int64)
+        return np.unique(allh[:-1][allh[:-1] == allh[1:]])
+    if strategy != "distributed":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    agg = h1_ds.groupby("__h1").aggregate(Count(alias_name="__n"))
+    chunks = [
+        b["__h1"].to_numpy()[b["__n"].to_numpy() > 1]
+        for b in agg.iter_batches(batch_size=262144, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(chunks))
+
+
 def paragraph_dedup(
     ds,
     id_col: str = "doc_id",
@@ -402,6 +450,7 @@ def paragraph_dedup(
     *,
     sep: str = "\n\n",
     min_len: int = 1,
+    strategy: str = "auto",
 ):
     """Corpus-wide paragraph dedup (CCNet-style boilerplate removal): a
     paragraph that occurs more than once survives ONLY at its first
@@ -412,15 +461,17 @@ def paragraph_dedup(
     empty paragraphs from consecutive separators are structural).
 
     Scale shape (the neardup-v4 recompute trick, steps/dedup.py): doc
-    text NEVER leaves its block. Pass 1 streams an 8 B/paragraph hash to
-    the driver (same bounded gather as steps/extract.py exact_dedup —
-    above ~10^10 paragraphs swap passes 1-2 for the documented
-    groupby(h)-count>1 plan). Pass 2 refines the h64 candidate set with
-    a second independent hash and picks winners, so a wrong drop needs a
-    128-bit collision. Pass 3 re-splits each doc locally, recomputes
-    hashes, and keeps (non-dup | winner | short) paragraphs — only the
-    winner map is broadcast (ray.put once; small while duplication is
-    boilerplate-sparse, the same caveat as the neardup drop set)."""
+    text NEVER leaves its block. Pass 1 finds duplicated h64 hashes —
+    ``strategy='driver'`` gathers 8 B/paragraph and sorts (fastest at
+    bench scale), ``'distributed'`` runs groupby(h).count()>1 so only
+    COLLIDING hashes reach the driver, ``'auto'`` switches on the
+    KGFORGE_CONTENT_DEDUP_DIST_ROWS doc threshold (equivalence-tested).
+    Pass 2 refines the h64 candidate set with a second independent hash
+    and picks winners, so a wrong drop needs a 128-bit collision. Pass 3
+    re-splits each doc locally, recomputes hashes, and keeps (non-dup |
+    winner | short) paragraphs — only the winner map is broadcast
+    (ray.put once; small while duplication is boilerplate-sparse, the
+    same caveat as the neardup drop set)."""
     import ray
 
     h41 = _para_hash_factory(41)
@@ -432,21 +483,12 @@ def paragraph_dedup(
         h = h41(flat)[ok] if len(flat) else np.array([], dtype=np.int64)
         return pa.table({"__h1": pa.array(h, pa.int64())})
 
-    # pass 1: candidate duplicate h1 values (8 B/paragraph gather + sort)
-    chunks = [
-        b["__h1"].to_numpy()
-        for b in ds.map_batches(para_hashes, batch_format="pyarrow").iter_batches(
-            batch_size=262144, batch_format="pyarrow"
-        )
-        if b.num_rows
-    ]
+    # pass 1: candidate duplicate h1 values (driver gather or
+    # distributed groupby-count>1 — see _dup_h1_values)
     winners: dict[tuple[int, int], tuple] = {}
-    dup_sorted = np.array([], dtype=np.int64)
-    if chunks:
-        allh = np.concatenate(chunks)
-        allh.sort()
-        if len(allh) > 1:
-            dup_sorted = np.unique(allh[:-1][allh[:-1] == allh[1:]])
+    dup_sorted = _dup_h1_values(
+        ds.map_batches(para_hashes, batch_format="pyarrow"), ds.count(), strategy
+    )
 
     if len(dup_sorted):
         _dup = dup_sorted
@@ -544,7 +586,9 @@ def paragraph_dedup(
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
 
-def exact_dedup_filter(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_filter(
+    ds, id_col: str = "doc_id", text_col: str = "text", *, strategy: str = "auto"
+):
     """Filtering form of exact dedup: keep exactly ONE row (min id) per
     distinct text, streaming the rest out — the form a curation pipeline
     composes (exact_dedup above returns the per-content groups instead).
@@ -566,20 +610,14 @@ def exact_dedup_filter(ds, id_col: str = "doc_id", text_col: str = "text"):
             texts = texts.combine_chunks()
         return pc.fill_null(texts, "")
 
-    chunks = [
-        b["__h1"].to_numpy()
-        for b in ds.map_batches(
+    dup_sorted = _dup_h1_values(
+        ds.map_batches(
             lambda t: pa.table({"__h1": pa.array(h41(_texts(t)), pa.int64())}),
             batch_format="pyarrow",
-        ).iter_batches(batch_size=262144, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    dup_sorted = np.array([], dtype=np.int64)
-    if chunks:
-        allh = np.concatenate(chunks)
-        allh.sort()
-        if len(allh) > 1:
-            dup_sorted = np.unique(allh[:-1][allh[:-1] == allh[1:]])
+        ),
+        ds.count(),
+        strategy,
+    )
 
     winners: dict[tuple[int, int], object] = {}
     if len(dup_sorted):

@@ -117,3 +117,37 @@ def test_paragraph_dedup_min_len_protects_short_paragraphs(ray_session):
     assert got.loc[0, "text"] == "ok\n\nshared paragraph"
     assert got.loc[1, "text"] == "ok"
     assert got["n_dropped_paragraphs"].tolist() == [0, 1]
+
+
+def test_paragraph_dedup_distributed_strategy_equivalent(ray_session):
+    from kgforge.dedup_ops import exact_dedup_filter
+
+    docs = _boilerplate_corpus()
+    # duplicate one whole doc so exact_dedup_filter has work too
+    docs = pd.concat(
+        [docs, pd.DataFrame({"doc_id": [500], "text": [docs["text"].iloc[2]]})],
+        ignore_index=True,
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    drv = paragraph_dedup(ds, strategy="driver").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    dist = paragraph_dedup(ds, strategy="distributed").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert drv["text"].tolist() == dist["text"].tolist()
+    assert drv["n_dropped_paragraphs"].tolist() == dist["n_dropped_paragraphs"].tolist()
+
+    e_drv = exact_dedup_filter(ds, strategy="driver").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    e_dist = exact_dedup_filter(ds, strategy="distributed").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert e_drv["doc_id"].tolist() == e_dist["doc_id"].tolist()
+    assert 500 not in set(e_drv["doc_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        paragraph_dedup(ds, strategy="nope").to_pandas()
