@@ -269,3 +269,86 @@ def top_k_per_group(
     return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         head, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# size-aware join (D8): broadcast vs hash-shuffle strategy selection
+# ---------------------------------------------------------------------------
+
+#: right sides at or below this many rows are fetched once and
+#: broadcast-merged per batch (no shuffle of the left side at all);
+#: override via KGFORGE_BROADCAST_JOIN_ROWS
+BROADCAST_JOIN_ROWS = 1_000_000
+
+
+def smart_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | Sequence[str],
+    *,
+    right_on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = 8,
+    suffix: str = "_r",
+    strategy: str = "auto",
+) -> Dataset:
+    """Equi-join with automatic physical-strategy selection — the call a
+    user reaches for instead of hand-picking D1 (broadcast) vs D3
+    (hash shuffle) per query.
+
+    ``auto``: if ``right.count()`` (metadata-cheap on materialized /
+    parquet inputs) fits KGFORGE_BROADCAST_JOIN_ROWS, the right side is
+    fetched ONCE and merged per left batch inside ``map_batches`` — the
+    big side never shuffles.  Otherwise ``Dataset.join`` (hash shuffle)
+    with the Ray 2.49 guards this repo measured: explicit
+    ``num_partitions`` and a ``drop_empty_blocks`` on the output so the
+    schema-less empty blocks a hash shuffle emits cannot crash a
+    downstream acero join (rayutil.ensure_schema docstring; chained
+    joins in 2.49 local mode fail without it).
+
+    ``how``: 'inner' or 'left'.  Broadcast-left keeps unmatched left
+    rows with null right columns, exactly like the shuffle plan.
+    """
+    import os
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_keys = [on] if isinstance(on, str) else list(on)
+    right_keys = (
+        left_keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if len(left_keys) != len(right_keys):
+        raise ValueError("on and right_on must have the same length")
+
+    if strategy == "auto":
+        limit = int(os.environ.get("KGFORGE_BROADCAST_JOIN_ROWS", BROADCAST_JOIN_ROWS))
+        strategy = "broadcast" if right.count() <= limit else "shuffle"
+
+    if strategy == "broadcast":
+        dim = right.to_pandas()
+        # align right key names to left's so the merge is a plain `on=`
+        ren = {r: l for l, r in zip(left_keys, right_keys) if r != l}
+        if ren:
+            dim = dim.rename(columns=ren)
+
+        def join_batch(b: pd.DataFrame) -> pd.DataFrame:
+            overlap = (set(b.columns) & set(dim.columns)) - set(left_keys)
+            d = dim.rename(columns={c: c + suffix for c in overlap})
+            return b.merge(d, on=left_keys, how=how)
+
+        return left.map_batches(join_batch, batch_format="pandas")
+
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from kgforge.rayutil import drop_empty_blocks
+
+    joined = left.join(
+        right,
+        join_type="inner" if how == "inner" else "left_outer",
+        num_partitions=num_partitions,
+        on=tuple(left_keys),
+        right_on=tuple(right_keys) if right_on is not None else None,
+    )
+    return drop_empty_blocks(joined)

@@ -255,3 +255,72 @@ def test_top_k_per_group_validates(ray_session):
     ds = read(SF, "events", ["event_id", "user_id"])
     with pytest.raises(ValueError, match="k must be"):
         top_k_per_group(ds, "user_id", "event_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# smart_join
+# ---------------------------------------------------------------------------
+
+
+def _join_oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "nation", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_smart_join_broadcast_and_shuffle_agree_with_duckdb(ray_session):
+    from kgforge.relops import smart_join
+
+    cust = read(SF, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nat = read(SF, "nation", ["n_nationkey", "n_name"])
+    want = _join_oracle(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """
+    )
+    for strat in ("broadcast", "shuffle"):
+        got = smart_join(
+            cust, nat, "c_nationkey", right_on="n_nationkey", strategy=strat
+        ).to_pandas()
+        # shuffle plan carries the right key column too; project to match
+        got = got[["c_custkey", "c_nationkey", "c_acctbal", "n_name"]]
+        _assert_equal(got, want)
+
+
+def test_smart_join_left_keeps_unmatched(ray_session):
+    from kgforge.relops import smart_join
+
+    cust = read(SF, "customer", ["c_custkey", "c_nationkey"])
+    # restrict the right side so some customers have no match
+    nat = read(SF, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["n_nationkey"], 5)),
+        batch_format="pyarrow",
+    )
+    want = _join_oracle(
+        """
+        SELECT c_custkey, c_nationkey, n_name
+        FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+          ON c_nationkey = n_nationkey
+        """
+    )
+    for strat in ("broadcast", "shuffle"):
+        got = smart_join(
+            cust, nat, "c_nationkey", right_on="n_nationkey", how="left", strategy=strat
+        ).to_pandas()[["c_custkey", "c_nationkey", "n_name"]]
+        _assert_equal(got, want)
+
+
+def test_smart_join_auto_picks_broadcast_for_small_right(ray_session):
+    from kgforge.relops import smart_join
+
+    cust = read(SF, "customer", ["c_custkey", "c_nationkey"])
+    nat = read(SF, "nation", ["n_nationkey", "n_name"])
+    out = smart_join(cust, nat, "c_nationkey", right_on="n_nationkey").to_pandas()
+    assert len(out) == cust.count()
+    with pytest.raises(ValueError, match="how must be"):
+        smart_join(cust, nat, "c_nationkey", how="full")
