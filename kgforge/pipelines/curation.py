@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from kgforge.dedup_ops import exact_dedup_filter, minhash_clusters, paragraph_dedup
+from kgforge.dedup_ops import exact_dedup_filter, paragraph_dedup
+from kgforge.steps.dedup import neardup_drop_set
 from kgforge.textops import add_lang_id, add_quality, pack_sequences
 
 
@@ -43,6 +44,7 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.35,
     neardup_threshold: float = 0.7,
+    neardup_path: str | None = None,
     seq_len: int = 1024,
     pack: bool = True,
 ) -> CurationResult:
@@ -67,35 +69,44 @@ def curate_corpus(
     cur = exact_dedup_filter(cur, id_col, text_col).materialize()
     stats["after_exact_dedup"] = cur.count()
 
-    # 4. near-dup drop: MinHash-LSH clusters, keep each cluster's min id.
-    #    The drop set is small (boilerplate-sparse assumption, same as
-    #    the flagship's neardup drop set) and ships by closure.
-    cmap = minhash_clusters(cur, id_col, text_col, neardup_threshold)
-    # cmap's canonical is the min STRING member (ids are cast to string
-    # inside the LSH engine); re-pick the keeper in the id column's own
-    # order so integer ids keep the numerically smallest ("7", not "101")
-    clusters: dict[str, list[str]] = {}
-    for k, v in cmap.items():
-        clusters.setdefault(v, []).append(k)
-    drop: set[str] = set()
-    if clusters:
-        id_is_int = pa.types.is_integer(cur.schema().base_schema.field(id_col).type)
-        for members in clusters.values():
-            keeper = min(members, key=int) if id_is_int else min(members)
-            drop.update(m for m in members if m != keeper)
+    # 4. near-dup drop via the flagship's auto-switching LSH engine
+    #    (steps/dedup.neardup_drop_set): driver collision scan at bench
+    #    scale, fully distributed band-groupby → join-verify →
+    #    cc_label_propagation above KGFORGE_NEARDUP_DIST_ROWS.  The
+    #    engine keeps each cluster's min STRING member, so integer ids
+    #    are zero-padded to 20 decimal digits first — string order then
+    #    equals numeric order and the numerically-smallest id survives.
+    id_is_int = (
+        stats["after_exact_dedup"] > 0
+        and pa.types.is_integer(cur.schema().base_schema.field(id_col).type)
+    )
+
+    def _key(t: pa.Table) -> pa.Array:
+        ids = pc.cast(t[id_col], pa.string())
+        return pc.utf8_lpad(ids, 20, "0") if id_is_int else ids
+
+    def to_engine(t: pa.Table) -> pa.Table:
+        return pa.table({"url_norm": _key(t), "extracted_text": t[text_col]})
+
+    # drop_empty_blocks: upstream filters can leave 0-row blocks whose
+    # schema the LSH engine's verify join would choke on (rayutil note)
+    from kgforge.rayutil import drop_empty_blocks
+
+    engine_docs = drop_empty_blocks(
+        cur.map_batches(to_engine, batch_format="pyarrow")
+    )
+    drop = neardup_drop_set(engine_docs, neardup_path, threshold=neardup_threshold)
     if drop:
         drop_arr = pa.array(sorted(drop), pa.string())
         cur = cur.map_batches(
             lambda t: t.filter(
-                pc.invert(
-                    pc.is_in(pc.cast(t[id_col], pa.string()), value_set=drop_arr)
-                )
+                pc.invert(pc.is_in(_key(t), value_set=drop_arr))
             ),
             batch_format="pyarrow",
         )
     cur = cur.materialize()
     stats["after_neardup"] = cur.count()
-    stats["neardup_clusters"] = len(set(cmap.values()))
+    stats["neardup_dropped"] = len(drop)
 
     # 5. paragraph-level boilerplate dedup (text never leaves its block)
     cur = paragraph_dedup(cur, id_col, text_col).materialize()

@@ -394,7 +394,13 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
             }
         )
 
-    ex = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    from ..rayutil import drop_empty_blocks
+
+    # the pairs side is SMALL (actual candidates) and comes out of a
+    # hash shuffle, whose empty blocks are schema-less and crash the
+    # acero join below ("No match ... key field reference url_norm");
+    # physically dropping them here is a metadata-only scan
+    ex = drop_empty_blocks(pairs_ds.map_batches(explode, batch_format="pyarrow"))
     packed = docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
         pack, batch_format="pyarrow"
     )
@@ -451,7 +457,9 @@ def _drop_set_distributed(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD) 
     return drop
 
 
-def neardup_drop_set(docs_ds, force_path: str | None = None) -> set[str]:
+def neardup_drop_set(
+    docs_ds, force_path: str | None = None, threshold: float = NEARDUP_JACCARD
+) -> set[str]:
     """G3+G4 front: verified near-dup pairs → connected components →
     url_norm drop-set (components keep their min member).
 
@@ -467,12 +475,12 @@ def neardup_drop_set(docs_ds, force_path: str | None = None) -> set[str]:
     if force_path != "driver":
         limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
         if force_path == "distributed" or band_ds.count() > limit:
-            return _drop_set_distributed(band_ds, docs_ds)
+            return _drop_set_distributed(band_ds, docs_ds, threshold)
     pairs = candidate_pairs(band_ds)
     verified: list[tuple[str, str, float]] = []
     if pairs:
         sig_of = recompute_sigs(docs_ds, sorted({u for p in pairs for u in p}))
-        verified = _verify_with(pairs, sig_of, NEARDUP_JACCARD)
+        verified = _verify_with(pairs, sig_of, threshold)
     uf = UnionFind()
     for a, b_, _j in verified:
         uf.union(a, b_)

@@ -92,3 +92,19 @@ def test_curate_corpus_no_pack_and_empty(ray_session):
     assert res.packed is None
     assert res.stats["input_docs"] == 0
     assert res.docs.count() == 0
+
+
+def test_curate_corpus_distributed_neardup_equivalent(ray_session):
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    drv = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, neardup_path="driver", pack=False
+    )
+    dist = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, neardup_path="distributed", pack=False
+    )
+    a = drv.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    b = dist.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["text"].tolist() == b["text"].tolist()
+    assert drv.stats["after_neardup"] == dist.stats["after_neardup"] == 30
