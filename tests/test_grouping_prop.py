@@ -101,3 +101,76 @@ def test_reaggregate_matches_duckdb_on_every_grouping_set(df):
             a_ = got[c].astype(float).fillna(-1e18)
             b_ = want[c].astype(float).fillna(-1e18)
             assert np.allclose(a_, b_, atol=1e-9), (sub, c, a_.tolist(), b_.tolist())
+
+
+# ---------------------------------------------------------------------------
+# interval-join batch kernel vs DuckDB (randomized)
+# ---------------------------------------------------------------------------
+
+from kgforge.relops import broadcast_interval_join  # noqa: E402  (kernel reuse)
+
+
+@st.composite
+def probe_and_dim(draw):
+    n = draw(st.integers(min_value=0, max_value=30))
+    probe = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": np.array(draw(st.lists(st.integers(0, 3), min_size=n, max_size=n)),
+                          dtype=np.int64),
+            "ts": np.array(draw(st.lists(st.integers(0, 20), min_size=n, max_size=n)),
+                           dtype=np.int64),
+        }
+    )
+    m = draw(st.integers(min_value=0, max_value=8))
+    starts = draw(st.lists(st.integers(0, 18), min_size=m, max_size=m))
+    lens = draw(st.lists(st.integers(0, 6), min_size=m, max_size=m))
+    dim = pd.DataFrame(
+        {
+            "k": np.array(draw(st.lists(st.integers(0, 3), min_size=m, max_size=m)),
+                          dtype=np.int64),
+            "lo": np.array(starts, dtype=np.int64),
+            "hi": np.array([s + l for s, l in zip(starts, lens)], dtype=np.int64),
+            "tag": [f"w{i}" for i in range(m)],
+        }
+    )
+    return probe, dim
+
+
+def _join_kernel(probe: pd.DataFrame, dim: pd.DataFrame, how: str) -> pd.DataFrame:
+    """Run broadcast_interval_join's per-batch function directly (no
+    Ray): capture the map_batches closure with a fake Dataset and call
+    it on one pandas batch."""
+    from kgforge.relops import broadcast_interval_join as bij
+
+    class FakeDS:
+        def map_batches(self, fn, batch_format):
+            self.fn = fn
+            return self
+
+    fake = FakeDS()
+    bij(fake, dim, "k", "ts", "lo", "hi", how=how)
+    return fake.fn(probe.copy())
+
+
+@settings(max_examples=60, deadline=None)
+@given(probe_and_dim(), st.sampled_from(["inner", "left"]))
+def test_interval_join_kernel_matches_duckdb(data, how):
+    probe, dim = data
+    got = _join_kernel(probe, dim, how)
+    con = duckdb.connect()
+    con.register("p", probe)
+    con.register("d", dim)
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = con.execute(
+        f"""
+        SELECT p.rid, p.k, p.ts, d.lo, d.hi, d.tag
+        FROM p {join_kw} d ON p.k = d.k AND d.lo <= p.ts AND p.ts < d.hi
+        """
+    ).df()
+    con.close()
+    key = ["rid", "tag"]
+    got = got.fillna({"tag": ""}).sort_values(key, ignore_index=True)
+    want = want.fillna({"tag": ""}).sort_values(key, ignore_index=True)
+    assert got["rid"].tolist() == want["rid"].tolist()
+    assert got["tag"].tolist() == want["tag"].tolist()
