@@ -403,7 +403,7 @@ def _para_hash_factory(seed: int):
 CONTENT_DEDUP_DIST_ROWS = 50_000_000
 
 
-def _dup_h1_values(h1_ds, n_docs_hint: int, strategy: str) -> np.ndarray:
+def _dup_h1_values(h1_ds, n_docs_hint, strategy: str) -> np.ndarray:
     """Sorted array of DUPLICATED ``__h1`` values from a one-column
     int64 Dataset.  'driver' gathers every hash (8 B/row) and sorts;
     'distributed' runs groupby(__h1).count() and returns only the
@@ -416,7 +416,10 @@ def _dup_h1_values(h1_ds, n_docs_hint: int, strategy: str) -> np.ndarray:
         limit = int(
             os.environ.get("KGFORGE_CONTENT_DEDUP_DIST_ROWS", CONTENT_DEDUP_DIST_ROWS)
         )
-        strategy = "distributed" if n_docs_hint > limit else "driver"
+        # n_docs_hint is a CALLABLE so explicit strategies never pay the
+        # extra upstream execution a Dataset.count() costs
+        n = n_docs_hint() if callable(n_docs_hint) else n_docs_hint
+        strategy = "distributed" if n > limit else "driver"
     if strategy == "driver":
         chunks = [
             b["__h1"].to_numpy()
@@ -487,7 +490,7 @@ def paragraph_dedup(
     # distributed groupby-count>1 — see _dup_h1_values)
     winners: dict[tuple[int, int], tuple] = {}
     dup_sorted = _dup_h1_values(
-        ds.map_batches(para_hashes, batch_format="pyarrow"), ds.count(), strategy
+        ds.map_batches(para_hashes, batch_format="pyarrow"), ds.count, strategy
     )
 
     if len(dup_sorted):
@@ -615,7 +618,7 @@ def exact_dedup_filter(
             lambda t: pa.table({"__h1": pa.array(h41(_texts(t)), pa.int64())}),
             batch_format="pyarrow",
         ),
-        ds.count(),
+        ds.count,
         strategy,
     )
 

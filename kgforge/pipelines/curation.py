@@ -82,8 +82,17 @@ def curate_corpus(
     )
 
     def _key(t: pa.Table) -> pa.Array:
-        ids = pc.cast(t[id_col], pa.string())
-        return pc.utf8_lpad(ids, 20, "0") if id_is_int else ids
+        if not id_is_int:
+            return pc.cast(t[id_col], pa.string())
+        # order-preserving int64→uint64 shift (+2^63, wrapping) THEN the
+        # 20-digit zero pad: plain zero-padding breaks on negative ids
+        # ('...-6' > '...-5' as strings, but -6 < -5)
+        import numpy as np
+
+        v = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            u = v.view(np.uint64) + np.uint64(1 << 63)
+        return pa.array(np.char.zfill(u.astype("U20"), 20), pa.string())
 
     def to_engine(t: pa.Table) -> pa.Table:
         return pa.table({"url_norm": _key(t), "extracted_text": t[text_col]})

@@ -323,6 +323,9 @@ def smart_join(
         raise ValueError("on and right_on must have the same length")
 
     if strategy == "auto":
+        # materialize so the size probe and the chosen plan share ONE
+        # execution of the right lineage (count() is then metadata)
+        right = right.materialize()
         limit = int(os.environ.get("KGFORGE_BROADCAST_JOIN_ROWS", BROADCAST_JOIN_ROWS))
         strategy = "broadcast" if right.count() <= limit else "shuffle"
 
@@ -332,10 +335,20 @@ def smart_join(
         ren = {r: l for l, r in zip(left_keys, right_keys) if r != l}
         if ren:
             dim = dim.rename(columns=ren)
+        # SQL equality never matches NULL = NULL; pandas merge does —
+        # drop null-key dim rows so both strategies agree
+        dim = dim.dropna(subset=left_keys)
+        prepared: dict[tuple, pd.DataFrame] = {}
 
         def join_batch(b: pd.DataFrame) -> pd.DataFrame:
-            overlap = (set(b.columns) & set(dim.columns)) - set(left_keys)
-            d = dim.rename(columns={c: c + suffix for c in overlap})
+            sig = tuple(b.columns)
+            if sig not in prepared:  # constant per schema; rename once per actor
+                overlap = (set(sig) & set(dim.columns)) - set(left_keys)
+                prepared[sig] = dim.rename(columns={c: c + suffix for c in overlap})
+            d = prepared[sig]
+            # shuffle-plan parity: Ray's hash join emits left cols +
+            # right NON-KEY cols (right_on keys dropped) — same here,
+            # because the rename above already folded them into left's
             return b.merge(d, on=left_keys, how=how)
 
         return left.map_batches(join_batch, batch_format="pandas")
@@ -350,5 +363,7 @@ def smart_join(
         num_partitions=num_partitions,
         on=tuple(left_keys),
         right_on=tuple(right_keys) if right_on is not None else None,
+        left_suffix="",
+        right_suffix=suffix,
     )
     return drop_empty_blocks(joined)

@@ -108,3 +108,16 @@ def test_curate_corpus_distributed_neardup_equivalent(ray_session):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["text"].tolist() == b["text"].tolist()
     assert drv.stats["after_neardup"] == dist.stats["after_neardup"] == 30
+
+
+def test_curation_neardup_keeper_handles_negative_ids(ray_session):
+    base = ("the article is about " +
+            " ".join(f"negword{j}" for j in range(30)))
+    docs = pd.DataFrame(
+        {"doc_id": [-5, -6, 3], "text": [base + " tail!", base, "the other article is about " +
+                                          " ".join(f"otherword{j}" for j in range(30))]}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    res = curate_corpus(ds, min_quality=0.0, neardup_threshold=0.6, pack=False)
+    kept = sorted(res.docs.to_pandas()["doc_id"])
+    assert kept == [-6, 3]  # numeric min survives, not the string-min -5

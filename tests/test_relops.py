@@ -287,7 +287,6 @@ def test_smart_join_broadcast_and_shuffle_agree_with_duckdb(ray_session):
         got = smart_join(
             cust, nat, "c_nationkey", right_on="n_nationkey", strategy=strat
         ).to_pandas()
-        # shuffle plan carries the right key column too; project to match
         got = got[["c_custkey", "c_nationkey", "c_acctbal", "n_name"]]
         _assert_equal(got, want)
 
@@ -324,3 +323,51 @@ def test_smart_join_auto_picks_broadcast_for_small_right(ray_session):
     assert len(out) == cust.count()
     with pytest.raises(ValueError, match="how must be"):
         smart_join(cust, nat, "c_nationkey", how="full")
+
+
+def test_smart_join_null_keys_never_match_either_strategy(ray_session):
+    from kgforge.relops import smart_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "x": pa.array([10, 20], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([None], pa.int64()), "y": pa.array([99], pa.int64())})
+    )
+    for strat in ("broadcast", "shuffle"):
+        inner = smart_join(left, right, "k", strategy=strat).to_pandas()
+        assert len(inner) == 0, strat  # SQL: NULL = NULL is not a match
+        lft = smart_join(left, right, "k", how="left", strategy=strat).to_pandas()
+        assert len(lft) == 2 and lft["y"].isna().all(), strat
+
+
+def test_smart_join_suffixes_overlapping_columns_both_strategies(ray_session):
+    from kgforge.relops import smart_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, 20], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([7, 8], pa.int64())})
+    )
+    for strat in ("broadcast", "shuffle"):
+        out = smart_join(left, right, "k", strategy=strat).to_pandas()
+        assert {"k", "v", "v_r"} <= set(out.columns), (strat, out.columns)
+        out = out.sort_values("k", ignore_index=True)
+        assert out["v"].tolist() == [10, 20] and out["v_r"].tolist() == [7, 8], strat
+
+
+def test_smart_join_strategies_share_schema_with_right_on(ray_session):
+    from kgforge.relops import smart_join
+
+    cust = read(SF, "customer", ["c_custkey", "c_nationkey"])
+    nat = read(SF, "nation", ["n_nationkey", "n_name"])
+    cols = {}
+    for strat in ("broadcast", "shuffle"):
+        out = smart_join(
+            cust, nat, "c_nationkey", right_on="n_nationkey", strategy=strat
+        ).to_pandas()
+        cols[strat] = sorted(out.columns)
+        # contract: left cols + right NON-KEY cols; right_on keys dropped
+        assert "n_nationkey" not in out.columns, strat
+    assert cols["broadcast"] == cols["shuffle"] == ["c_custkey", "c_nationkey", "n_name"]
