@@ -676,3 +676,114 @@ def exact_dedup_filter(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+# --- incremental (cross-run) exact dedup -------------------------------------
+
+
+def content_hashes(ds, text_col: str = "text"):
+    """(h1, h2) int64 content hashes per row — the persistable corpus
+    index for ``incremental_dedup_filter``.  blake2b (``stable_u64``),
+    NOT the within-run polars hash the intra-corpus scans use: an index
+    written by yesterday's run must verify against hashes computed by
+    today's (polars' seed schedule is not version-pinned).  16 B/doc:
+    a 10^12-doc index is ~16 TB of plain parquet, streamed not
+    broadcast."""
+    from .extract_core import stable_u64
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "").to_pylist()
+        h1 = np.array([stable_u64(x, "inc1") - (1 << 63) for x in texts], dtype=np.int64)
+        h2 = np.array([stable_u64(x, "inc2") - (1 << 63) for x in texts], dtype=np.int64)
+        return pa.table({"h1": pa.array(h1, pa.int64()), "h2": pa.array(h2, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def incremental_dedup_filter(
+    new_ds,
+    known_hashes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    fpp: float = 0.01,
+):
+    """Drop NEW docs whose content already exists in an ingested corpus
+    (the daily-shard op: never re-deduplicate the whole 100 TB corpus).
+    ``known_hashes`` is the (h1, h2) Dataset ``content_hashes`` produced
+    for prior shards (read back from parquet).
+
+    Plan: a Bloom filter of the known h1 values is built DISTRIBUTEDLY
+    (mergeable BloomSketch) and broadcast once; new docs stream through
+    it — misses are definitively novel (no false negatives) and pass
+    straight through.  The bloom hits (true dups + ~fpp false
+    positives, a small set) are verified EXACTLY: their (h1, h2) keys
+    broadcast to one vectorized ``is_in`` filter over the known index
+    (streamed, never shuffled), and only confirmed (h1, h2) matches are
+    dropped — so a Bloom false positive can never drop a novel doc, and
+    a wrong drop needs a 128-bit collision.  Intra-shard duplicates are
+    out of scope: run ``exact_dedup_filter`` on the shard first.
+    """
+    import ray
+
+    from .bloom import BloomFilter, bloom_semi_filter, build_bloom
+    from .extract_core import stable_u64
+
+    n_known = known_hashes.count()
+    if n_known == 0:
+        return new_ds
+    bf = build_bloom(known_hashes, "h1", capacity=n_known, fpp=fpp)
+
+    def add_h(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "").to_pylist()
+        h1 = np.array([stable_u64(x, "inc1") - (1 << 63) for x in texts], dtype=np.int64)
+        h2 = np.array([stable_u64(x, "inc2") - (1 << 63) for x in texts], dtype=np.int64)
+        return t.append_column("__h1", pa.array(h1, pa.int64())).append_column(
+            "__h2", pa.array(h2, pa.int64())
+        )
+
+    hashed = new_ds.map_batches(add_h, batch_format="pyarrow").materialize()
+    candidates = bloom_semi_filter(hashed, "__h1", bf)
+    cand = candidates.select_columns(["__h1", "__h2"]).to_pandas()
+    if len(cand):
+        # exact verify: which candidate (h1, h2) keys exist in the index?
+        # candidate keys broadcast; the (possibly huge) index streams.
+        cand_h1 = pa.array(np.sort(cand["__h1"].unique()), pa.int64())
+
+        def touch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["h1"], value_set=cand_h1))
+
+        known_touch = known_hashes.map_batches(touch, batch_format="pyarrow").to_pandas()
+        # a fully-filtered Dataset can come back as a column-less frame
+        known_set = (
+            set(zip(known_touch["h1"], known_touch["h2"]))
+            if len(known_touch)
+            else set()
+        )
+        dup_keys = {
+            (a, b) for a, b in zip(cand["__h1"], cand["__h2"]) if (a, b) in known_set
+        }
+    else:
+        dup_keys = set()
+    dup_ref = ray.put(dup_keys)
+
+    def keep(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if dups:
+            mask = np.array(
+                [
+                    (a, b) not in dups
+                    for a, b in zip(t["__h1"].to_pylist(), t["__h2"].to_pylist())
+                ],
+                dtype=bool,
+            )
+            t = t.filter(pa.array(mask))
+        return t.drop_columns(["__h1", "__h2"])
+
+    return hashed.map_batches(keep, batch_format="pyarrow")

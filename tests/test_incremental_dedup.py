@@ -1,0 +1,58 @@
+"""Incremental (cross-run) exact dedup: a new shard checked against a
+persisted content-hash index — novel docs pass, already-ingested
+content drops, bloom false positives never drop a novel doc."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kgforge.dedup_ops import content_hashes, incremental_dedup_filter
+
+
+def _docs(ids, texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_incremental_dedup_drops_known_content(ray_session):
+    known_texts = [f"already ingested article {i} body" for i in range(200)]
+    known = content_hashes(_docs(list(range(200)), known_texts)).materialize()
+    new_texts = [f"fresh article {i} body" for i in range(50)] + known_texts[::10]  # 20 re-posts
+    new = _docs(list(range(1000, 1000 + len(new_texts))), new_texts).repartition(4)
+    out = incremental_dedup_filter(new, known).to_pandas()
+    assert len(out) == 50
+    assert all(t.startswith("fresh") for t in out["text"])
+    assert sorted(out.columns) == ["doc_id", "text"]  # helper cols removed
+
+
+def test_incremental_dedup_index_roundtrips_through_parquet(ray_session, tmp_path):
+    """Cross-run contract: an index written by one 'run' must verify
+    hashes computed by another."""
+    known = content_hashes(_docs([1, 2], ["persisted doc", "another persisted doc"]))
+    known.write_parquet(str(tmp_path / "idx"))
+    reloaded = rd.read_parquet(str(tmp_path / "idx"))
+    new = _docs([9, 10], ["persisted doc", "entirely new doc"])
+    out = incremental_dedup_filter(new, reloaded).to_pandas()
+    assert out["text"].tolist() == ["entirely new doc"]
+
+
+def test_incremental_dedup_bloom_false_positives_never_drop(ray_session):
+    """A deliberately terrible bloom (fpp 0.5) floods the candidate set
+    with false positives; the exact (h1, h2) verify must keep every
+    novel doc anyway."""
+    known = content_hashes(_docs(list(range(100)), [f"known {i}" for i in range(100)]))
+    known = known.materialize()
+    new = _docs(list(range(500, 900)), [f"novel {i}" for i in range(400)])
+    out = incremental_dedup_filter(new, known, fpp=0.5).to_pandas()
+    assert len(out) == 400  # nothing novel lost
+
+
+def test_incremental_dedup_empty_index_passes_everything(ray_session):
+    known = content_hashes(_docs([], [])).materialize()
+    new = _docs([1, 2], ["a", "b"])
+    out = incremental_dedup_filter(new, known).to_pandas()
+    assert len(out) == 2
