@@ -24,7 +24,12 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from kgforge.dedup_ops import exact_dedup_filter, paragraph_dedup
+from kgforge.dedup_ops import (
+    content_hashes,
+    exact_dedup_filter,
+    incremental_dedup_filter,
+    paragraph_dedup,
+)
 from kgforge.steps.dedup import neardup_drop_set
 from kgforge.textops import add_lang_id, add_quality, pack_sequences
 
@@ -33,6 +38,9 @@ from kgforge.textops import add_lang_id, add_quality, pack_sequences
 class CurationResult:
     docs: Dataset                 # curated (id, text, n_dropped_paragraphs)
     packed: Dataset | None        # fixed-length token sequences (if pack=True)
+    new_index: Dataset | None = None  # (h1, h2) content index of this shard's
+    # survivors — persist it and pass the union back as known_hashes on the
+    # next shard to make the pipeline corpus-incremental
     stats: dict[str, Any] = field(default_factory=dict)
 
 
@@ -45,6 +53,7 @@ def curate_corpus(
     min_quality: float = 0.35,
     neardup_threshold: float = 0.7,
     neardup_path: str | None = None,
+    known_hashes: Dataset | None = None,
     seq_len: int = 1024,
     pack: bool = True,
 ) -> CurationResult:
@@ -68,6 +77,13 @@ def curate_corpus(
     # 3. exact dedup: one survivor (min id) per distinct text
     cur = exact_dedup_filter(cur, id_col, text_col).materialize()
     stats["after_exact_dedup"] = cur.count()
+
+    # 3b. cross-run dedup against the persisted corpus index (daily
+    #     shard mode): content already ingested by a PRIOR run drops;
+    #     the survivors' index is returned for the next shard
+    if known_hashes is not None:
+        cur = incremental_dedup_filter(cur, known_hashes, id_col, text_col).materialize()
+        stats["after_incremental_dedup"] = cur.count()
 
     # 4. near-dup drop via the flagship's auto-switching LSH engine
     #    (steps/dedup.neardup_drop_set): driver collision scan at bench
@@ -117,6 +133,10 @@ def curate_corpus(
     stats["after_neardup"] = cur.count()
     stats["neardup_dropped"] = len(drop)
 
+    # the shard's contribution to the corpus index: survivors' ORIGINAL
+    # text (stage 3b checks pre-paragraph-rewrite content)
+    shard_index = content_hashes(cur, text_col).materialize()
+
     # 5. paragraph-level boilerplate dedup (text never leaves its block)
     cur = paragraph_dedup(cur, id_col, text_col).materialize()
     dropped = cur.aggregate(Sum("n_dropped_paragraphs", alias_name="s"))
@@ -128,4 +148,4 @@ def curate_corpus(
         stats["packed_sequences"] = packed.count()
         stats["packed_tokens"] = stats["packed_sequences"] * seq_len
 
-    return CurationResult(docs=cur, packed=packed, stats=stats)
+    return CurationResult(docs=cur, packed=packed, new_index=shard_index, stats=stats)

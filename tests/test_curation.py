@@ -121,3 +121,37 @@ def test_curation_neardup_keeper_handles_negative_ids(ray_session):
     res = curate_corpus(ds, min_quality=0.0, neardup_threshold=0.6, pack=False)
     kept = sorted(res.docs.to_pandas()["doc_id"])
     assert kept == [-6, 3]  # numeric min survives, not the string-min -5
+
+
+def test_curate_corpus_incremental_shards(ray_session):
+    """Daily-shard mode: shard 2 re-posts some of shard 1's content;
+    passing shard 1's survivor index drops the re-posts."""
+    import ray.data as rdm
+
+    docs = _corpus()
+    shard1 = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    r1 = curate_corpus(shard1, min_quality=0.2, neardup_threshold=0.6, pack=False)
+    assert r1.new_index is not None and r1.new_index.count() == r1.stats["after_neardup"]
+
+    # shard 2: 5 re-posts of shard-1 content (same text, new ids) + 3 new docs
+    reposts = docs[docs["doc_id"] < 5].copy()
+    reposts["doc_id"] = reposts["doc_id"] + 10_000
+    fresh = pd.DataFrame(
+        {
+            "doc_id": [20_001, 20_002, 20_003],
+            "text": [
+                f"{HEADER}\n\n{_en_body(900 + i)}\n\n{FOOTER}" for i in range(3)
+            ],
+        }
+    )
+    shard2 = rd.from_arrow(
+        pa.Table.from_pandas(pd.concat([reposts, fresh], ignore_index=True),
+                             preserve_index=False)
+    )
+    r2 = curate_corpus(
+        shard2, min_quality=0.2, neardup_threshold=0.6,
+        known_hashes=r1.new_index, pack=False,
+    )
+    assert r2.stats["after_incremental_dedup"] == 3
+    kept = sorted(r2.docs.to_pandas()["doc_id"])
+    assert kept == [20_001, 20_002, 20_003]
