@@ -33,9 +33,10 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import AggregateFnV2, Count, Max, Min, Sum
 
 # ---------------------------------------------------------------------------
 # window functions
@@ -434,3 +435,55 @@ def pivot(
         return pd.DataFrame([row])
 
     return fine.groupby(index).map_groups(widen, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# collection aggregates (E12): array_agg / string_agg
+# ---------------------------------------------------------------------------
+
+
+class ListAgg(AggregateFnV2):
+    """SQL ``array_agg(col)`` as a mergeable aggregate: per-block value
+    lists concatenated up the aggregate tree.  ``sort=True`` (default)
+    sorts the final list — block arrival order is nondeterministic in a
+    streaming executor, so an unsorted result is not reproducible
+    (matching SQL, where array_agg without ORDER BY is also
+    unspecified).  Nulls are skipped like SQL's.  Memory caveat: one
+    group's values materialize on its reducer — this is an inherently
+    group-sized aggregate, use it on bounded groups."""
+
+    def __init__(self, on: str, alias_name: str | None = None, sort: bool = True):
+        self._sort = sort
+        super().__init__(
+            alias_name or f"array_agg({on})", list, on=on, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block) -> list:
+        col = (
+            block[self.get_target_column()]
+            if isinstance(block, pa.Table)
+            else pa.Array.from_pandas(block[self.get_target_column()])
+        )
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.drop_null().to_pylist()
+
+    def combine(self, current_accumulator: list, new: list) -> list:
+        return current_accumulator + new
+
+    def finalize(self, accumulator: list) -> list:
+        return sorted(accumulator) if self._sort else accumulator
+
+
+class StringAgg(ListAgg):
+    """SQL ``string_agg(col, sep ORDER BY col)``: the sorted value list
+    joined with ``sep`` (sorted for the same determinism reason)."""
+
+    def __init__(self, on: str, sep: str = ",", alias_name: str | None = None):
+        self._sep = sep
+        super().__init__(on, alias_name or f"string_agg({on})", sort=True)
+
+    def finalize(self, accumulator: list) -> str | None:
+        if not accumulator:
+            return None
+        return self._sep.join(str(x) for x in sorted(accumulator))

@@ -462,3 +462,51 @@ def test_grouping_count_col_skips_nulls(ray_session):
     ).sort_values("a", ignore_index=True)
     assert got["n_star"].astype(int).tolist() == [2, 1]  # count(*)
     assert got["n_v"].astype(int).tolist() == [1, 1]     # count(v)
+
+
+def test_array_agg_and_string_agg_vs_duckdb(ray_session):
+    from kgforge.analytic import ListAgg, StringAgg
+
+    ds = read(SF, "nation", ["n_regionkey", "n_name"])
+    got = (
+        ds.groupby("n_regionkey")
+        .aggregate(
+            ListAgg("n_name", alias_name="names"),
+            StringAgg("n_name", sep="|", alias_name="joined"),
+        )
+        .to_pandas()
+        .sort_values("n_regionkey", ignore_index=True)
+    )
+    import duckdb as _dd
+
+    con = _dd.connect()
+    want = con.execute(
+        f"""
+        SELECT n_regionkey,
+               list(n_name ORDER BY n_name) AS names,
+               string_agg(n_name, '|' ORDER BY n_name) AS joined
+        FROM read_parquet('{SF}/nation.parquet')
+        GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    ).df()
+    con.close()
+    assert got["n_regionkey"].tolist() == want["n_regionkey"].tolist()
+    assert [list(x) for x in got["names"]] == [list(x) for x in want["names"]]
+    assert got["joined"].tolist() == want["joined"].tolist()
+
+
+def test_array_agg_skips_nulls_and_empty_group_is_empty_list(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgforge.analytic import ListAgg, StringAgg
+
+    df = pd.DataFrame({"g": [1, 1, 2], "x": [3.0, None, None]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        ds.groupby("g")
+        .aggregate(ListAgg("x", alias_name="xs"), StringAgg("x", alias_name="s"))
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    assert list(out.loc[0, "xs"]) == [3.0] and out.loc[0, "s"] == "3.0"
+    assert list(out.loc[1, "xs"]) == [] and out.loc[1, "s"] is None
