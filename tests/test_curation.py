@@ -155,3 +155,44 @@ def test_curate_corpus_incremental_shards(ray_session):
     assert r2.stats["after_incremental_dedup"] == 3
     kept = sorted(r2.docs.to_pandas()["doc_id"])
     assert kept == [20_001, 20_002, 20_003]
+
+
+def test_curate_cli_two_shards(ray_session, tmp_path):
+    """CLI round-trip: shard 1 curated, its index fed to shard 2 via
+    --known-index; re-posted content drops."""
+    import json
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    shard1_in = tmp_path / "in1"
+    import pyarrow.parquet as pq
+
+    shard1_in.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), str(shard1_in / "p.parquet")
+    )
+    out1 = tmp_path / "out1"
+    curate_main([
+        "--input", str(shard1_in), "--out", str(out1),
+        "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
+    ])
+    stats1 = json.loads((out1 / "stats.json").read_text())
+    assert stats1["after_neardup"] == 30
+    assert (out1 / "index").exists() and (out1 / "docs").exists()
+
+    reposts = docs[docs["doc_id"] < 4].copy()
+    reposts["doc_id"] = reposts["doc_id"] + 10_000
+    shard2_in = tmp_path / "in2"
+    shard2_in.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(reposts, preserve_index=False), str(shard2_in / "p.parquet")
+    )
+    out2 = tmp_path / "out2"
+    curate_main([
+        "--input", str(shard2_in), "--out", str(out2),
+        "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
+        "--known-index", str(out1 / "index"),
+    ])
+    stats2 = json.loads((out2 / "stats.json").read_text())
+    assert stats2["after_incremental_dedup"] == 0  # every doc was a re-post
