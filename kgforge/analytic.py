@@ -466,7 +466,10 @@ class ListAgg(AggregateFnV2):
         )
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return col.drop_null().to_pylist()
+        # v == v drops float NaN too: pandas blocks surface nulls as NaN
+        # (arrow keeps NaN as a value), and NaN would break the sorted
+        # finalize's determinism — same guard as sketches.HllDistinct
+        return [v for v in col.drop_null().to_pylist() if v == v]
 
     def combine(self, current_accumulator: list, new: list) -> list:
         return current_accumulator + new

@@ -24,6 +24,32 @@ import json
 import os
 
 
+def _write_parquet_always(ds, path: str, fallback_fields) -> None:
+    """write_parquet that always leaves a readable parquet directory:
+    Ray writes ZERO files (and no directory) for an empty dataset, so a
+    fully-deduplicated shard would otherwise break the documented
+    --known-index round-trip with FileNotFoundError on the next day."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if ds.count() > 0:
+        ds.write_parquet(path)
+        return
+    schema = None
+    try:
+        schema = ds.schema().base_schema
+    except Exception:
+        schema = None
+    if schema is None:
+        types = {"int64": pa.int64(), "string": pa.string(),
+                 "list<int32>": pa.list_(pa.int32())}
+        schema = pa.schema([(n, types[t]) for n, t in fallback_fields])
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="kgforge corpus curation")
     p.add_argument("--input", required=True, help="input parquet path/glob")
@@ -42,7 +68,11 @@ def main(argv: list[str] | None = None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # plain init: connects to RAY_ADDRESS / an existing cluster under
+        # `ray job submit`, falls back to a local instance standalone —
+        # address="local" would force an isolated single-node Ray even
+        # inside a real cluster job
+        ray.init(include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     from kgforge.pipelines.curation import curate_corpus
@@ -60,10 +90,14 @@ def main(argv: list[str] | None = None) -> None:
         pack=not args.no_pack,
     )
     os.makedirs(args.out, exist_ok=True)
-    res.docs.write_parquet(os.path.join(args.out, "docs"))
-    res.new_index.write_parquet(os.path.join(args.out, "index"))
+    _write_parquet_always(res.docs, os.path.join(args.out, "docs"),
+                          [("doc_id", "int64"), ("text", "string"),
+                           ("n_dropped_paragraphs", "int64")])
+    _write_parquet_always(res.new_index, os.path.join(args.out, "index"),
+                          [("h1", "int64"), ("h2", "int64")])
     if res.packed is not None:
-        res.packed.write_parquet(os.path.join(args.out, "packed"))
+        _write_parquet_always(res.packed, os.path.join(args.out, "packed"),
+                              [("seq", "list<int32>"), ("n_tokens", "int64")])
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(res.stats, f, indent=1, sort_keys=True)
     print(json.dumps(res.stats, sort_keys=True))

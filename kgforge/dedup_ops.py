@@ -681,23 +681,36 @@ def exact_dedup_filter(
 # --- incremental (cross-run) exact dedup -------------------------------------
 
 
+def _inc_hash_pair(t: pa.Table, text_col: str):
+    """(h1, h2) int64 arrays for a batch's text column — ONE 16-byte
+    blake2b digest per doc split into two u64 halves (half the hashing
+    cost of two independent digests).  This is the cross-run index
+    contract: blake2b, NOT the within-run polars hash (its seed
+    schedule is not version-pinned); every producer and consumer of the
+    index MUST go through this helper."""
+    import hashlib
+
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "").to_pylist()
+    h1 = np.empty(len(texts), dtype=np.int64)
+    h2 = np.empty(len(texts), dtype=np.int64)
+    for i, x in enumerate(texts):
+        d = hashlib.blake2b(("inc" + x).encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "big") - (1 << 63)
+        h2[i] = int.from_bytes(d[8:], "big") - (1 << 63)
+    return h1, h2
+
+
 def content_hashes(ds, text_col: str = "text"):
     """(h1, h2) int64 content hashes per row — the persistable corpus
-    index for ``incremental_dedup_filter``.  blake2b (``stable_u64``),
-    NOT the within-run polars hash the intra-corpus scans use: an index
-    written by yesterday's run must verify against hashes computed by
-    today's (polars' seed schedule is not version-pinned).  16 B/doc:
-    a 10^12-doc index is ~16 TB of plain parquet, streamed not
-    broadcast."""
-    from .extract_core import stable_u64
+    index for ``incremental_dedup_filter`` (see ``_inc_hash_pair`` for
+    the hash contract).  16 B/doc: a 10^12-doc index is ~16 TB of plain
+    parquet, streamed not broadcast."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "").to_pylist()
-        h1 = np.array([stable_u64(x, "inc1") - (1 << 63) for x in texts], dtype=np.int64)
-        h2 = np.array([stable_u64(x, "inc2") - (1 << 63) for x in texts], dtype=np.int64)
+        h1, h2 = _inc_hash_pair(t, text_col)
         return pa.table({"h1": pa.array(h1, pa.int64()), "h2": pa.array(h2, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -706,7 +719,6 @@ def content_hashes(ds, text_col: str = "text"):
 def incremental_dedup_filter(
     new_ds,
     known_hashes,
-    id_col: str = "doc_id",
     text_col: str = "text",
     *,
     fpp: float = 0.01,
@@ -729,8 +741,7 @@ def incremental_dedup_filter(
     """
     import ray
 
-    from .bloom import BloomFilter, bloom_semi_filter, build_bloom
-    from .extract_core import stable_u64
+    from .bloom import bloom_semi_filter, build_bloom
 
     n_known = known_hashes.count()
     if n_known == 0:
@@ -738,12 +749,7 @@ def incremental_dedup_filter(
     bf = build_bloom(known_hashes, "h1", capacity=n_known, fpp=fpp)
 
     def add_h(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "").to_pylist()
-        h1 = np.array([stable_u64(x, "inc1") - (1 << 63) for x in texts], dtype=np.int64)
-        h2 = np.array([stable_u64(x, "inc2") - (1 << 63) for x in texts], dtype=np.int64)
+        h1, h2 = _inc_hash_pair(t, text_col)
         return t.append_column("__h1", pa.array(h1, pa.int64())).append_column(
             "__h2", pa.array(h2, pa.int64())
         )

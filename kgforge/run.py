@@ -227,12 +227,14 @@ def main(argv: list[str] | None = None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # cluster-safe: connect via RAY_ADDRESS under `ray job submit`
+        # (num_cpus is only legal when STARTING a local instance);
+        # address="local" would force an isolated single-node Ray
+        addr = os.environ.get("RAY_ADDRESS", "")
+        if addr in ("", "local"):
+            ray.init(num_cpus=args.cpus, include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(include_dashboard=False, logging_level="ERROR")
         ray.data.DataContext.get_current().enable_progress_bars = False
 
     if args.stop_after >= 0:

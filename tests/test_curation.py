@@ -196,3 +196,38 @@ def test_curate_cli_two_shards(ray_session, tmp_path):
     ])
     stats2 = json.loads((out2 / "stats.json").read_text())
     assert stats2["after_incremental_dedup"] == 0  # every doc was a re-post
+
+
+def test_curate_cli_empty_shard_index_still_readable(ray_session, tmp_path):
+    """A 100%-re-posted shard writes EMPTY docs/index that must still be
+    readable parquet for day 3 (Ray writes zero files for an empty
+    dataset — the CLI pads an explicit empty table)."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rdm
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    in1 = tmp_path / "in1"; in1.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), str(in1 / "p.parquet"))
+    out1 = tmp_path / "out1"
+    curate_main(["--input", str(in1), "--out", str(out1),
+                 "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack"])
+
+    reposts = docs[docs["doc_id"] < 4].copy()
+    reposts["doc_id"] = reposts["doc_id"] + 10_000
+    in2 = tmp_path / "in2"; in2.mkdir()
+    pq.write_table(pa.Table.from_pandas(reposts, preserve_index=False), str(in2 / "p.parquet"))
+    out2 = tmp_path / "out2"
+    curate_main(["--input", str(in2), "--out", str(out2),
+                 "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
+                 "--known-index", str(out1 / "index")])
+    stats2 = json.loads((out2 / "stats.json").read_text())
+    assert stats2["after_incremental_dedup"] == 0
+    # day 3: both day-2 artifact dirs must read back cleanly
+    idx2 = rdm.read_parquet(str(out2 / "index"))
+    assert idx2.count() == 0 and set(idx2.schema().names) == {"h1", "h2"}
+    docs2 = rdm.read_parquet(str(out2 / "docs"))
+    assert docs2.count() == 0
