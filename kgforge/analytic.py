@@ -490,3 +490,72 @@ class StringAgg(ListAgg):
         if not accumulator:
             return None
         return self._sep.join(str(x) for x in sorted(accumulator))
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling (E13): one-pass column statistics
+# ---------------------------------------------------------------------------
+
+
+def profile_dataset(
+    ds: Dataset,
+    columns: Sequence[str] | None = None,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> pd.DataFrame:
+    """``describe()`` for ingest QA: one row per column with row/null
+    counts, approx distinct (HLL), and for numeric columns min / max /
+    mean / t-digest quantiles — ALL columns profiled in a SINGLE
+    aggregate pass (the per-block partials for every column travel in
+    one mergeable aggregate tree; the input streams once).
+
+    Returns a small pandas frame: column, dtype, n_rows, n_nulls,
+    approx_distinct, min, max, mean, q<…> (numeric only, else NaN).
+    """
+    from kgforge.sketches import HllDistinct, TDigestQuantiles
+
+    schema = ds.schema().base_schema
+    names = list(columns) if columns is not None else list(schema.names)
+    numeric = {
+        n
+        for n in names
+        if pa.types.is_integer(schema.field(n).type)
+        or pa.types.is_floating(schema.field(n).type)
+    }
+    aggs: list[AggregateFnV2] = [Count(alias_name="__rows")]
+    for n in names:
+        aggs.append(Count(n, ignore_nulls=True, alias_name=f"__nn_{n}"))
+        aggs.append(HllDistinct(n, alias_name=f"__nd_{n}"))
+        if n in numeric:
+            aggs.append(Min(n, alias_name=f"__min_{n}"))
+            aggs.append(Max(n, alias_name=f"__max_{n}"))
+            aggs.append(Sum(n, alias_name=f"__sum_{n}"))
+            aggs.append(
+                TDigestQuantiles(n, quantiles=quantiles, alias_name=f"__q_{n}")
+            )
+    row = ds.aggregate(*aggs)
+    n_rows = int(row["__rows"]) if row and row.get("__rows") is not None else 0
+    out = []
+    for n in names:
+        nn = int(row.get(f"__nn_{n}") or 0) if n_rows else 0
+        rec: dict[str, Any] = {
+            "column": n,
+            "dtype": str(schema.field(n).type),
+            "n_rows": n_rows,
+            "n_nulls": n_rows - nn,
+            "approx_distinct": int(row.get(f"__nd_{n}") or 0) if n_rows else 0,
+            "min": np.nan,
+            "max": np.nan,
+            "mean": np.nan,
+        }
+        for q in quantiles:
+            rec[f"q{q:g}"] = np.nan
+        if n in numeric and n_rows and nn:
+            rec["min"] = float(row[f"__min_{n}"])
+            rec["max"] = float(row[f"__max_{n}"])
+            rec["mean"] = float(row[f"__sum_{n}"]) / nn
+            td = row.get(f"__q_{n}") or {}
+            for q in quantiles:
+                rec[f"q{q:g}"] = float(td.get(f"q{q:g}", np.nan))
+        out.append(rec)
+    return pd.DataFrame(out)

@@ -510,3 +510,54 @@ def test_array_agg_skips_nulls_and_empty_group_is_empty_list(ray_session):
     )
     assert list(out.loc[0, "xs"]) == [3.0] and out.loc[0, "s"] == "3.0"
     assert list(out.loc[1, "xs"]) == [] and out.loc[1, "s"] is None
+
+
+def test_profile_dataset_vs_duckdb(ray_session):
+    from kgforge.analytic import profile_dataset
+
+    ds = read(SF, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    prof = profile_dataset(ds).set_index("column")
+    import duckdb as _dd
+
+    con = _dd.connect()
+    want = con.execute(
+        f"""
+        SELECT count(*) AS n, count(l_quantity) AS nn,
+               count(DISTINCT l_orderkey) AS nd_key,
+               count(DISTINCT l_returnflag) AS nd_flag,
+               min(l_quantity) AS mn, max(l_quantity) AS mx,
+               avg(l_quantity) AS m, median(l_quantity) AS med
+        FROM read_parquet('{SF}/lineitem.parquet')
+        """
+    ).df().iloc[0]
+    con.close()
+    assert prof.loc["l_quantity", "n_rows"] == want["n"]
+    assert prof.loc["l_quantity", "n_nulls"] == want["n"] - want["nn"]
+    assert prof.loc["l_quantity", "min"] == want["mn"]
+    assert prof.loc["l_quantity", "max"] == want["mx"]
+    assert abs(prof.loc["l_quantity", "mean"] - want["m"]) < 1e-9
+    # HLL ~1.6% standard error; t-digest median close to exact
+    assert abs(prof.loc["l_orderkey", "approx_distinct"] - want["nd_key"]) <= 0.05 * want["nd_key"]
+    assert prof.loc["l_returnflag", "approx_distinct"] == want["nd_flag"]  # tiny exact range
+    spread = want["mx"] - want["mn"]
+    assert abs(prof.loc["l_quantity", "q0.5"] - want["med"]) <= 0.02 * spread
+    # non-numeric column: stats NaN, counts real
+    import math
+    assert math.isnan(prof.loc["l_returnflag", "mean"])
+
+
+def test_profile_dataset_nulls_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgforge.analytic import profile_dataset
+
+    df = pd.DataFrame({"x": [1.0, None, 3.0], "s": ["a", "a", None]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    prof = profile_dataset(ds).set_index("column")
+    assert prof.loc["x", "n_nulls"] == 1 and prof.loc["s", "n_nulls"] == 1
+    assert prof.loc["x", "mean"] == 2.0  # mean over non-null
+    assert prof.loc["s", "approx_distinct"] == 1
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    p2 = profile_dataset(empty)
+    assert p2.loc[0, "n_rows"] == 0 and p2.loc[0, "approx_distinct"] == 0
