@@ -514,7 +514,12 @@ def profile_dataset(
     """
     from kgforge.sketches import HllDistinct, TDigestQuantiles
 
-    schema = ds.schema().base_schema
+    ray_schema = ds.schema()
+    if ray_schema is None:  # schema-less empty dataset (rayutil note)
+        cols = ["column", "dtype", "n_rows", "n_nulls", "approx_distinct",
+                "min", "max", "mean"] + [f"q{q:g}" for q in quantiles]
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    schema = ray_schema.base_schema
     names = list(columns) if columns is not None else list(schema.names)
     numeric = {
         n
@@ -551,11 +556,18 @@ def profile_dataset(
         for q in quantiles:
             rec[f"q{q:g}"] = np.nan
         if n in numeric and n_rows and nn:
-            rec["min"] = float(row[f"__min_{n}"])
-            rec["max"] = float(row[f"__max_{n}"])
-            rec["mean"] = float(row[f"__sum_{n}"]) / nn
+            # a float column polluted with NaN VALUES (not nulls) makes
+            # Ray's Sum/Min/Max return None while Count(ignore_nulls)
+            # still counts the NaN rows — surface NaN, don't crash
+            def _f(v):
+                return float(v) if v is not None else np.nan
+
+            rec["min"] = _f(row.get(f"__min_{n}"))
+            rec["max"] = _f(row.get(f"__max_{n}"))
+            s = row.get(f"__sum_{n}")
+            rec["mean"] = float(s) / nn if s is not None else np.nan
             td = row.get(f"__q_{n}") or {}
             for q in quantiles:
-                rec[f"q{q:g}"] = float(td.get(f"q{q:g}", np.nan))
+                rec[f"q{q:g}"] = _f(td.get(f"q{q:g}"))
         out.append(rec)
     return pd.DataFrame(out)

@@ -24,14 +24,13 @@ import json
 import os
 
 
-def _write_parquet_always(ds, path: str, fallback_fields) -> None:
+def _write_parquet_always(ds, path: str, fallback_schema) -> None:
     """write_parquet that always leaves a readable parquet directory:
     Ray writes ZERO files (and no directory) for an empty dataset, so a
     fully-deduplicated shard would otherwise break the documented
-    --known-index round-trip with FileNotFoundError on the next day."""
-    import os
-
-    import pyarrow as pa
+    --known-index round-trip with FileNotFoundError on the next day.
+    ``fallback_schema`` (a ``pa.schema``) is used when even Ray's
+    dataset-level schema is gone (schema-less empty datasets)."""
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
@@ -44,9 +43,7 @@ def _write_parquet_always(ds, path: str, fallback_fields) -> None:
     except Exception:
         schema = None
     if schema is None:
-        types = {"int64": pa.int64(), "string": pa.string(),
-                 "list<int32>": pa.list_(pa.int32())}
-        schema = pa.schema([(n, types[t]) for n, t in fallback_fields])
+        schema = fallback_schema
     pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
 
 
@@ -89,15 +86,23 @@ def main(argv: list[str] | None = None) -> None:
         seq_len=args.seq_len,
         pack=not args.no_pack,
     )
+    import pyarrow as pa
+
     os.makedirs(args.out, exist_ok=True)
-    _write_parquet_always(res.docs, os.path.join(args.out, "docs"),
-                          [("doc_id", "int64"), ("text", "string"),
-                           ("n_dropped_paragraphs", "int64")])
-    _write_parquet_always(res.new_index, os.path.join(args.out, "index"),
-                          [("h1", "int64"), ("h2", "int64")])
+    _write_parquet_always(
+        res.docs, os.path.join(args.out, "docs"),
+        pa.schema([(args.id_col, pa.int64()), (args.text_col, pa.string()),
+                   ("n_dropped_paragraphs", pa.int64())]),
+    )
+    _write_parquet_always(
+        res.new_index, os.path.join(args.out, "index"),
+        pa.schema([("h1", pa.int64()), ("h2", pa.int64())]),
+    )
     if res.packed is not None:
-        _write_parquet_always(res.packed, os.path.join(args.out, "packed"),
-                              [("seq", "list<int32>"), ("n_tokens", "int64")])
+        _write_parquet_always(
+            res.packed, os.path.join(args.out, "packed"),
+            pa.schema([("seq", pa.list_(pa.int32())), ("n_tokens", pa.int64())]),
+        )
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(res.stats, f, indent=1, sort_keys=True)
     print(json.dumps(res.stats, sort_keys=True))

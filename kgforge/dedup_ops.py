@@ -681,6 +681,11 @@ def exact_dedup_filter(
 # --- incremental (cross-run) exact dedup -------------------------------------
 
 
+#: bump when the index hash scheme changes — an index parquet written
+#: under a different version MUST be rebuilt, never silently mixed
+INC_HASH_VERSION = 2  # v2: single blake2b-16 digest split into two u64
+
+
 def _inc_hash_pair(t: pa.Table, text_col: str):
     """(h1, h2) int64 arrays for a batch's text column — ONE 16-byte
     blake2b digest per doc split into two u64 halves (half the hashing
@@ -719,8 +724,8 @@ def content_hashes(ds, text_col: str = "text"):
 def incremental_dedup_filter(
     new_ds,
     known_hashes,
-    text_col: str = "text",
     *,
+    text_col: str = "text",
     fpp: float = 0.01,
 ):
     """Drop NEW docs whose content already exists in an ingested corpus

@@ -82,7 +82,7 @@ def curate_corpus(
     #     shard mode): content already ingested by a PRIOR run drops;
     #     the survivors' index is returned for the next shard
     if known_hashes is not None:
-        cur = incremental_dedup_filter(cur, known_hashes, text_col).materialize()
+        cur = incremental_dedup_filter(cur, known_hashes, text_col=text_col).materialize()
         stats["after_incremental_dedup"] = cur.count()
 
     # 4. near-dup drop via the flagship's auto-switching LSH engine

@@ -232,7 +232,11 @@ def main(argv: list[str] | None = None) -> None:
         # address="local" would force an isolated single-node Ray
         addr = os.environ.get("RAY_ADDRESS", "")
         if addr in ("", "local"):
-            ray.init(num_cpus=args.cpus, include_dashboard=False, logging_level="ERROR")
+            # address="local" FORCES a fresh local instance — without it,
+            # ray.init(num_cpus=...) auto-detects any `ray start` cluster
+            # on the machine and raises (num_cpus is illegal on connect)
+            ray.init(address="local", num_cpus=args.cpus,
+                     include_dashboard=False, logging_level="ERROR")
         else:
             ray.init(include_dashboard=False, logging_level="ERROR")
         ray.data.DataContext.get_current().enable_progress_bars = False

