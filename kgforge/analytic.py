@@ -231,6 +231,25 @@ def window(
 _ALGEBRAIC = ("count", "sum", "min", "max", "mean")
 
 
+def _validate_agg_specs(aggs: Sequence[dict]) -> None:
+    """Reject duplicate 'out' names up front: the partial-alias dedup in
+    ``_finest_aggregate`` would otherwise silently drop the second
+    aggregate sharing an out and stamp every duplicate output column
+    with the FIRST agg's values — the same mistake ``window()`` already
+    raises on (``_validate_specs``)."""
+    seen: set[str] = set()
+    for a in aggs:
+        fn = a.get("fn")
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"unsupported agg fn {fn!r}; algebraic fns: {_ALGEBRAIC}")
+        out = a.get("out")
+        if not out or out in seen:
+            raise ValueError(f"every agg spec needs a unique 'out' column (got {out!r})")
+        seen.add(out)
+        if fn != "count" and not a.get("col"):
+            raise ValueError(f"agg fn {fn!r} needs a 'col'")
+
+
 def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.DataFrame:
     """One distributed shuffle: per-finest-group algebraic partials.
     mean is carried as (sum, count) and finalized per grouping set."""
@@ -330,6 +349,7 @@ def grouping_sets(
     """
     keys = list(keys)
     aggs = [dict(a) for a in aggs]
+    _validate_agg_specs(aggs)
     for s in sets:
         unknown = set(s) - set(keys)
         if unknown:
@@ -410,12 +430,11 @@ def pivot(
         # discovery consumes `fine` once and widen consumes it again —
         # materialize so the groupby shuffle doesn't execute twice
         fine = fine.materialize()
-        found = (
-            fine.groupby(pivot_col)
-            .aggregate(Count(alias_name="__n"))
-            .to_pandas()[pivot_col]
-            .tolist()
-        )
+        disc = fine.groupby(pivot_col).aggregate(Count(alias_name="__n")).to_pandas()
+        # an EMPTY input comes back as a schema-less pandas frame (Ray
+        # 2.49: aggregating an empty Dataset loses the key column), so
+        # guard the column access — zero pivot values, index-only output
+        found = disc[pivot_col].tolist() if pivot_col in disc.columns else []
         # a NULL pivot value cannot become a column (SQL PIVOT ... IN
         # lists only real values); rows with it are dropped like SQL does
         vals = sorted(v for v in found if v is not None and v == v)

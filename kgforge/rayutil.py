@@ -47,7 +47,17 @@ def drop_empty_blocks(ds):
         for ref, md in bundle.blocks
         if md.num_rows != 0
     ]
-    return rd.from_arrow_refs(refs) if refs else mat
+    if refs:
+        return rd.from_arrow_refs(refs)
+    # ALL blocks are 0-row: returning mat would keep exactly the
+    # schema-less empty blocks this helper exists to remove, so rebuild
+    # one empty block from the dataset-level schema (falling back to mat
+    # only when no Arrow schema is recoverable)
+    sch = mat.schema(fetch_if_missing=False)
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if isinstance(base, pa.Schema):
+        return rd.from_arrow(base.empty_table())
+    return mat
 
 
 def sever_plan(ds):

@@ -162,14 +162,30 @@ def sample_hash_u64(values: pa.Array | pa.ChunkedArray, seed: int) -> np.ndarray
     gets the SAME deterministic decision per seed — never the undefined
     NaN→uint64 cast (platform-dependent) or a crash.  Callers that need
     null-specific semantics (e.g. bloom's null-never-matches) mask nulls
-    themselves."""
+    themselves.
+
+    Non-integer, non-string keys (float, date, timestamp, decimal, …)
+    are canonicalized through Arrow's string cast and hashed as
+    strings; a type Arrow cannot render as a string (e.g. arbitrary
+    binary) raises a clear ValueError naming the supported key types."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if values.null_count:
-        values = values.fill_null(0 if pa.types.is_integer(values.type) else "")
     if pa.types.is_integer(values.type):
+        if values.null_count:
+            values = values.fill_null(0)
         ids = values.to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(ids ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    if not (pa.types.is_string(values.type) or pa.types.is_large_string(values.type)):
+        try:
+            values = pc.cast(values, pa.string())
+        except (pa.ArrowInvalid, pa.lib.ArrowNotImplementedError) as e:
+            raise ValueError(
+                f"sample_hash_u64: unsupported key type {values.type} — supported: "
+                "integer, string, and any type Arrow can cast to string "
+                "(float, date, timestamp, decimal, bool)"
+            ) from e
+    if values.null_count:
+        values = values.fill_null("")
     salt = f"strat{seed}"
     return np.array(
         [stable_u64(v, salt) for v in values.to_pylist()], dtype=np.uint64

@@ -577,3 +577,35 @@ def test_profile_dataset_nan_values_and_schemaless(ray_session):
     schemaless = rd.from_items([])
     p2 = profile_dataset(schemaless)
     assert len(p2) == 0
+
+
+def test_grouping_sets_rejects_duplicate_out(ray_session):
+    ds = read(SF, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    with pytest.raises(ValueError, match="unique 'out'"):
+        grouping_sets(
+            ds, ["l_returnflag"], [["l_returnflag"]],
+            [
+                {"fn": "sum", "col": "l_quantity", "out": "s"},
+                {"fn": "sum", "col": "l_extendedprice", "out": "s"},
+            ],
+        )
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        grouping_sets(ds, ["l_returnflag"], [[]], [{"fn": "sum", "out": "s"}])
+
+
+def test_pivot_empty_input_discovery(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "p": pa.array([], pa.string()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+    )
+    # values=None discovery on an empty dataset must not KeyError
+    out = pivot(empty, "g", "p", "v", agg="sum").to_pandas()
+    assert len(out) == 0

@@ -371,3 +371,42 @@ def test_smart_join_strategies_share_schema_with_right_on(ray_session):
         # contract: left cols + right NON-KEY cols; right_on keys dropped
         assert "n_nationkey" not in out.columns, strat
     assert cols["broadcast"] == cols["shuffle"] == ["c_custkey", "c_nationkey", "n_name"]
+
+
+def test_sample_hash_u64_nonstring_key_types(ray_session):
+    """Float / timestamp keys canonicalize through a string cast; an
+    uncastable type gets a clear ValueError (ADVICE r2)."""
+    from kgforge.relops import sample_hash_u64
+
+    f = pa.array([1.5, 2.5, None, 1.5], pa.float64())
+    h = sample_hash_u64(f, 7)
+    assert h[0] == h[3] and h[0] != h[1]
+    ts = pa.array([1000, 2000], pa.timestamp("s"))
+    h2 = sample_hash_u64(ts, 7)
+    assert h2[0] != h2[1]
+    # sampling by float key end-to-end (used to crash with TypeError)
+    ds = rd.from_arrow(pa.table({"fk": pa.array([0.1 * i for i in range(200)])}))
+    out = stratified_sample(ds, "fk", 0.5, seed=3).to_pandas()
+    assert 0 < len(out) < 200
+    import pytest as _pytest
+
+    nested = pa.array([[1, 2], [3]], pa.list_(pa.int64()))
+    with _pytest.raises(ValueError, match="unsupported key type"):
+        sample_hash_u64(nested, 7)
+
+
+def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
+    """ALL-0-row input: the rebuilt dataset must carry ONE schema-ful
+    empty block, not the schema-less originals (ADVICE r2)."""
+    from kgforge.rayutil import drop_empty_blocks
+
+    sch = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    ds = rd.from_arrow(sch.empty_table()).filter(lambda r: False)
+    out = drop_empty_blocks(ds)
+    assert out.count() == 0
+    blocks = [
+        md.num_rows
+        for b in out.materialize().iter_internal_ref_bundles()
+        for _, md in b.blocks
+    ]
+    assert blocks == [0]
