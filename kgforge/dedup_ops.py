@@ -253,13 +253,24 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
 
 def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.95, seed: int = 11,
-                            dim: int | None = None):
-    """Near-dup by embedding cosine: 16-bit random-hyperplane LSH bucket,
-    exact cosine verification within bucket (two rotated hyperplane sets so
-    borderline pairs split across one bucket boundary still collide).
+                            dim: int | None = None, n_planes: int = 16, n_tables: int = 2):
+    """Near-dup by embedding cosine: random-hyperplane LSH bucket
+    (``n_planes`` sign bits per bucket key, ``n_tables`` independent
+    hyperplane sets so borderline pairs split across one bucket boundary
+    still collide), exact cosine verification within bucket.
+
+    Tune the bucketing to the threshold: P(pair at cosine c shares a
+    bucket) = (1 - arccos(c)/π)^n_planes per table.  The defaults
+    (16 planes × 2 tables) fit true near-dup thresholds (≥0.9, ~85%
+    recall); LOOSER thresholds need shorter keys and more tables (e.g.
+    0.4 → 6 planes × 8 tables ≈ 40% per-table-union recall) — fewer
+    planes widen buckets, which ``bucket_pair_policy`` keeps O(n).
+
     ``dim`` defaults to the dataset's vector width (read from the schema /
-    first row); the hyperplanes are a deterministic function of (seed, dim)
-    so every batch buckets identically."""
+    first row); the hyperplanes are a deterministic function of
+    (seed, dim, n_planes, n_tables) so every batch buckets identically."""
+    if n_planes < 1 or n_planes > 32 or n_tables < 1:
+        raise ValueError("need 1 <= n_planes <= 32 and n_tables >= 1")
     if dim is None:
         f = ds.schema().base_schema.field(vec_col).type
         if pa.types.is_fixed_size_list(f):
@@ -273,8 +284,9 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
                 )
             dim = len(first[0][vec_col])
     rng = np.random.RandomState(seed)
-    planes1 = rng.randn(dim, 16).astype(np.float32)
-    planes2 = rng.randn(dim, 16).astype(np.float32)
+    plane_sets = [
+        rng.randn(dim, n_planes).astype(np.float32) for _ in range(n_tables)
+    ]
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = [str(x) for x in batch[id_col].to_pylist()]
@@ -282,11 +294,11 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1, norms)
         bks, oids, vecs = [], [], []
-        for pi, planes in enumerate((planes1, planes2)):
+        for pi, planes in enumerate(plane_sets):
             bits = (mat @ planes) > 0
-            keys = (bits * (1 << np.arange(16))).sum(axis=1)
+            keys = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
             for i, kk in enumerate(keys):
-                bks.append(f"{pi}:{int(kk):04x}")
+                bks.append(f"{pi}:{int(kk):08x}")
                 oids.append(ids[i])
                 vecs.append(mat[i])
         return pa.table(
