@@ -30,7 +30,7 @@ from kgforge.dedup_ops import (
     incremental_dedup_filter,
     paragraph_dedup,
 )
-from kgforge.steps.dedup import neardup_drop_set
+from kgforge.steps.dedup import apply_drop_ds, neardup_drop_ds
 from kgforge.textops import add_lang_id, add_quality, pack_sequences
 
 
@@ -120,18 +120,23 @@ def curate_corpus(
     engine_docs = drop_empty_blocks(
         cur.map_batches(to_engine, batch_format="pyarrow")
     )
-    drop = neardup_drop_set(engine_docs, neardup_path, threshold=neardup_threshold)
-    if drop:
-        drop_arr = pa.array(sorted(drop), pa.string())
-        cur = cur.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.is_in(_key(t), value_set=drop_arr))
-            ),
-            batch_format="pyarrow",
+    drop_ds = neardup_drop_ds(engine_docs, neardup_path, threshold=neardup_threshold)
+    n_dropped = drop_ds.count()
+    if n_dropped:
+        # the drop side stays a Dataset: apply_drop_ds broadcasts small
+        # drop sides and bloom+anti-joins big ones (never a driver set
+        # above the threshold) — keyed on the same engine key column
+        keyed = cur.map_batches(
+            lambda t: t.append_column("__nd_key", _key(t)), batch_format="pyarrow"
+        )
+        cur = apply_drop_ds(
+            keyed, drop_ds, key_col="__nd_key", drop_key="url_norm"
+        ).map_batches(
+            lambda t: t.drop_columns(["__nd_key"]), batch_format="pyarrow"
         )
     cur = cur.materialize()
     stats["after_neardup"] = cur.count()
-    stats["neardup_dropped"] = len(drop)
+    stats["neardup_dropped"] = n_dropped
 
     # the shard's contribution to the corpus index: survivors' ORIGINAL
     # text (stage 3b checks pre-paragraph-rewrite content)

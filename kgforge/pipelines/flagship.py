@@ -22,7 +22,7 @@ import ray
 
 from ..nlp_core import AliasResource
 from ..ontology import get_ontology
-from ..steps.dedup import apply_drop_set, neardup_drop_set
+from ..steps.dedup import apply_drop_ds, neardup_drop_ds
 from ..steps.extract import add_url_norm, exact_dedup, extract_docs, lang_filter
 from ..steps.link import entity_prior, link_docs
 from ..steps.materialize import canonical_map_from_same_as, materialize_triples
@@ -33,7 +33,7 @@ class FlagshipResult:
     docs: "ray.data.Dataset"  # extracted docs (post exact-dedup, lang filter)
     kept_docs: "ray.data.Dataset"  # post near-dup removal
     triples: "ray.data.Dataset"  # final sorted graph
-    drop_set: set[str]
+    drop_ds: "ray.data.Dataset"  # near-dup url_norms dropped (one column)
     canonical_map: dict[str, str]
 
 
@@ -59,8 +59,12 @@ def run_flagship(
 ) -> FlagshipResult:
     res = resource or AliasResource.from_ontology(get_ontology(seed))
     docs = build_docs(pages_ds).materialize()  # branch point (see module docstring)
-    drop = neardup_drop_set(docs)
-    kept = apply_drop_set(docs, drop)
+    # drop side stays a Dataset end to end: below the corpus threshold
+    # it is the (tiny) driver-plan result wrapped in one block, above it
+    # the fully distributed labels — apply_drop_ds picks broadcast vs
+    # bloom+anti-join by drop count (VERDICT r2 item 1)
+    drop_ds = neardup_drop_ds(docs)
+    kept = apply_drop_ds(docs, drop_ds)
     # corpus prior pass (unambiguous mention counts) → broadcast with the
     # gazetteer; breaks cosine ties toward the corpus-popular entity
     res = res.with_prior(entity_prior(kept, res))
@@ -72,4 +76,4 @@ def run_flagship(
     # surface (kg_canonical_map) only
     cmap = canonical_map_from_same_as(res.same_as, list(res.id_type))
     triples = materialize_triples(linked)
-    return FlagshipResult(docs, kept, triples, drop, cmap)
+    return FlagshipResult(docs, kept, triples, drop_ds, cmap)

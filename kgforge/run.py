@@ -148,7 +148,7 @@ def run_stage2(out: str, seed: int) -> int:
     from .model.learn import learn_model, write_model
     from .nlp_core import AliasResource
     from .ontology import get_ontology
-    from .steps.dedup import apply_drop_set, neardup_drop_set
+    from .steps.dedup import apply_drop_ds, neardup_drop_ds
     from .steps.extract import exact_dedup
     from .steps.ledger import atomic_write_parquet, current_epoch, ledger_row, write_ledger_row
     from .steps.link import link_docs
@@ -179,8 +179,8 @@ def run_stage2(out: str, seed: int) -> int:
         part_files.extend(files)
     docs = rd.read_parquet(part_files).materialize()
     docs = exact_dedup(docs)
-    drop = neardup_drop_set(docs)
-    kept = apply_drop_set(docs, drop)
+    drop_ds = neardup_drop_ds(docs)
+    kept = apply_drop_ds(docs, drop_ds)
     res = AliasResource.from_ontology(get_ontology(seed))
     # corpus-prior pass (unambiguous-mention counts over the kept docs) —
     # same disambiguation tie-break as run_flagship / reference emitter

@@ -394,6 +394,7 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
             }
         )
 
+    from ..bloom import bloom_semi_filter, build_bloom
     from ..rayutil import drop_empty_blocks
 
     # the pairs side is SMALL (actual candidates) and comes out of a
@@ -401,9 +402,18 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
     # acero join below ("No match ... key field reference url_norm");
     # physically dropping them here is a metadata-only scan
     ex = drop_empty_blocks(pairs_ds.map_batches(explode, batch_format="pyarrow"))
-    packed = docs_ds.select_columns(["url_norm", "extracted_text"]).map_batches(
-        pack, batch_format="pyarrow"
+    # semi-filter the docs side BEFORE the signature recompute (ADVICE
+    # r2): only candidate-pair members are ever consumed by
+    # verify_group, so the bloom of the pair urls (built distributedly
+    # from the exploded pairs, broadcast once) keeps the minhash
+    # recompute and the join shuffle scaled to CANDIDATES, not corpus
+    # size.  False positives recompute one wasted signature and then
+    # die in the inner join — never a wrong verification.
+    bf = build_bloom(ex, "url_norm", capacity=max(ex.count(), 1))
+    docs_cand = bloom_semi_filter(
+        docs_ds.select_columns(["url_norm", "extracted_text"]), "url_norm", bf
     )
+    packed = docs_cand.map_batches(pack, batch_format="pyarrow")
     j = ex.join(packed, join_type="inner", num_partitions=8, on=("url_norm",))
 
     def verify_group(g: pa.Table) -> pa.Table:
@@ -435,47 +445,40 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
     return j.groupby("pid").map_groups(verify_group, batch_format="pyarrow")
 
 
-def _drop_set_distributed(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
-    """Distributed G3+G4: band-groupby pairing → join-verified edges →
-    cc_label_propagation labels → drop = nodes whose component label is
-    not themselves. Nothing corpus-sized lands on the driver; the final
-    drop list is bounded by the number of ACTUAL near-dup docs."""
+_DROP_SCHEMA = pa.schema([("url_norm", pa.string())])
+
+
+def _drop_ds_distributed(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD):
+    """Distributed G3+G4, Dataset-valued end to end: band-groupby
+    pairing → join-verified edges → cc_label_propagation labels →
+    Dataset(url_norm) of the nodes whose component label is not
+    themselves.  Nothing corpus-sized EVER lands on the driver — the
+    drop side stays in the cluster for ``apply_drop_ds`` (VERDICT r2:
+    the old plan collapsed these labels into a Python set, which at a
+    30-50% web dup rate is corpus-scale)."""
+    import ray.data as rd
+
     from .cc import cc_label_propagation
 
     pairs = _pairs_ds_distributed(band_ds)
     if pairs is None:
-        return set()
+        return rd.from_arrow(_DROP_SCHEMA.empty_table())
     edges = _verify_pairs_ds(pairs, docs_ds, threshold).materialize()
     if edges.count() == 0:
-        return set()
+        return rd.from_arrow(_DROP_SCHEMA.empty_table())
     labels = cc_label_propagation(edges)
-    drop: set[str] = set()
-    for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        nodes = b["node"].to_pylist()
-        labs = b["label"].to_pylist()
-        drop.update(n for n, l in zip(nodes, labs) if n != l)
-    return drop
+    return labels.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["node"], t["label"])))
+        .select(["node"])
+        .rename_columns(["url_norm"]),
+        batch_format="pyarrow",
+    ).materialize()
 
 
-def neardup_drop_set(
-    docs_ds, force_path: str | None = None, threshold: float = NEARDUP_JACCARD
-) -> set[str]:
-    """G3+G4 front: verified near-dup pairs → connected components →
-    url_norm drop-set (components keep their min member).
-
-    Two plans, selected by corpus size (or ``force_path`` ∈
-    {"driver", "distributed"} for tests): the driver collision scan
-    (measured faster below millions of docs — see module docstring) and
-    the fully distributed band-groupby → join-verify →
-    cc_label_propagation plan, which keeps every corpus-sized structure
-    in the cluster."""
-    import os
-
-    band_ds = minhash_band_ds(docs_ds)
-    if force_path != "driver":
-        limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
-        if force_path == "distributed" or band_ds.count() > limit:
-            return _drop_set_distributed(band_ds, docs_ds, threshold)
+def _drop_set_driver(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
+    """Driver collision-scan plan (measured fastest below millions of
+    docs): candidate pairs + signature verify + union-find on the
+    driver; returns the url_norm drop set (components keep min)."""
     pairs = candidate_pairs(band_ds)
     verified: list[tuple[str, str, float]] = []
     if pairs:
@@ -494,19 +497,174 @@ def neardup_drop_set(
     return drop
 
 
-def apply_drop_set(docs_ds, drop: set[str]):
-    """Broadcast anti-join: filter out dropped url_norms inside map_batches
-    (SURVEY §2.D4)."""
+def neardup_drop_ds(
+    docs_ds, force_path: str | None = None, threshold: float = NEARDUP_JACCARD
+):
+    """G3+G4 front, Dataset-valued: verified near-dup pairs → connected
+    components → Dataset(url_norm) of docs to DROP (components keep
+    their min member).  The pipeline-facing form: the drop side never
+    has to fit on the driver; pair it with ``apply_drop_ds``.
+
+    Two plans, selected by corpus size (or ``force_path`` ∈
+    {"driver", "distributed"} for tests): the driver collision scan
+    (measured faster below millions of docs — see module docstring,
+    wrapped into a one-column Dataset) and the fully distributed
+    band-groupby → join-verify → cc_label_propagation plan."""
+    import os
+
+    import ray.data as rd
+
+    band_ds = minhash_band_ds(docs_ds)
+    if force_path != "driver":
+        limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
+        if force_path == "distributed" or band_ds.count() > limit:
+            return _drop_ds_distributed(band_ds, docs_ds, threshold)
+    drop = _drop_set_driver(band_ds, docs_ds, threshold)
+    return rd.from_arrow(
+        pa.table({"url_norm": pa.array(sorted(drop), pa.string())})
+    )
+
+
+def neardup_drop_set(
+    docs_ds, force_path: str | None = None, threshold: float = NEARDUP_JACCARD
+) -> set[str]:
+    """Set-valued convenience form of ``neardup_drop_ds`` — ONLY for
+    corpora whose drop side fits on the driver (tests, small shards).
+    Pipelines use ``neardup_drop_ds`` + ``apply_drop_ds``."""
+    import os
+
+    band_ds = minhash_band_ds(docs_ds)
+    if force_path != "driver":
+        limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
+        if force_path == "distributed" or band_ds.count() > limit:
+            drop_ds = _drop_ds_distributed(band_ds, docs_ds, threshold)
+            drop: set[str] = set()
+            for b in drop_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                drop.update(b["url_norm"].to_pylist())
+            return drop
+    return _drop_set_driver(band_ds, docs_ds, threshold)
+
+
+#: at or below this many drop keys ``apply_drop_ds`` gathers them into
+#: one broadcast ``is_in`` filter (measured fastest — no join); above
+#: it the drop side stays a Dataset and application is a bloom-prefiltered
+#: anti-join.  Override via KGFORGE_DROP_APPLY_BROADCAST_ROWS.
+DROP_APPLY_BROADCAST_ROWS = 2_000_000
+
+
+def apply_drop_set(docs_ds, drop: set[str], key_col: str = "url_norm"):
+    """Broadcast anti-join: filter out dropped keys inside map_batches
+    (SURVEY §2.D4).  For drop sides that may not fit on the driver use
+    ``apply_drop_ds``."""
     if not drop:
         return docs_ds
     drop_arr = pa.array(sorted(drop), pa.string())
     return docs_ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["url_norm"], value_set=drop_arr))),
+        lambda t: t.filter(pc.invert(pc.is_in(t[key_col], value_set=drop_arr))),
         batch_format="pyarrow",
     )
 
 
+def apply_drop_ds(
+    docs_ds,
+    drop_ds,
+    key_col: str = "url_norm",
+    *,
+    drop_key: str | None = None,
+    strategy: str = "auto",
+    num_partitions: int = 8,
+):
+    """Anti-join ``docs_ds`` against a Dataset-valued drop side: keep
+    the rows whose ``key_col`` is NOT in ``drop_ds``'s ``drop_key``
+    column (default: same name as ``key_col``; keys must be distinct in
+    ``drop_ds`` — both neardup plans guarantee that).
+
+    ``auto`` gathers small drop sides into the broadcast ``is_in``
+    filter (fastest, no shuffle); above KGFORGE_DROP_APPLY_BROADCAST_ROWS
+    it switches to the distributed plan: a Bloom filter of the drop
+    keys is built IN-CLUSTER (mergeable sketch) and broadcast once —
+    rows that miss it survive with no shuffle at all (no false
+    negatives); only the hits (actual drops + ~1% false positives) go
+    through an exact left-outer join against the drop side, so the join
+    shuffles O(dropped docs), never the corpus.  A Bloom false positive
+    finds no join match and survives — never a wrong drop."""
+    import os
+
+    import ray
+
+    from ..bloom import BloomFilter, build_bloom
+    from ..rayutil import drop_empty_blocks
+
+    src_key = drop_key or key_col
+    if src_key != key_col:
+        drop_ds = drop_ds.map_batches(
+            lambda t, s=src_key, k=key_col: pa.table({k: t[s]}),
+            batch_format="pyarrow",
+        )
+    drop_ds = drop_ds.materialize()
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return docs_ds
+    if strategy == "auto":
+        limit = int(
+            os.environ.get("KGFORGE_DROP_APPLY_BROADCAST_ROWS", DROP_APPLY_BROADCAST_ROWS)
+        )
+        strategy = "broadcast" if n_drop <= limit else "distributed"
+    if strategy == "broadcast":
+        drop: set[str] = set()
+        for b in drop_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            drop.update(b[key_col].to_pylist())
+        return apply_drop_set(docs_ds, drop, key_col)
+    if strategy != "distributed":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    bf = build_bloom(drop_ds, key_col, capacity=n_drop)
+    words_ref = ray.put(bf.words)
+    m, k = bf.m, bf.k
+    # two consumers (miss filter + hit join) — materialize once so the
+    # upstream lineage doesn't execute twice; blocks spill as needed
+    docs_ds = docs_ds.materialize()
+
+    def _mask(t: pa.Table) -> pa.Array:
+        from ..relops import sample_hash_u64
+
+        from ..bloom import _SEED
+
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        f = BloomFilter(m, k, ray.get(words_ref))
+        return pa.array(f.contains_hashes(sample_hash_u64(col, _SEED)))
+
+    clean = docs_ds.map_batches(
+        lambda t: t.filter(pc.invert(_mask(t))), batch_format="pyarrow"
+    )
+    maybe = docs_ds.map_batches(lambda t: t.filter(_mask(t)), batch_format="pyarrow")
+    marked = drop_ds.map_batches(
+        lambda t: pa.table(
+            {
+                key_col: t[key_col],
+                "__drop": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = maybe.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        left_suffix="",
+        right_suffix="_r",
+    )
+    survivors = drop_empty_blocks(j).map_batches(
+        lambda t: t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"]),
+        batch_format="pyarrow",
+    )
+    return clean.union(survivors)
+
+
 def neardup_dedup(docs_ds):
-    """G3+G4 composed: returns (deduped_docs, drop_set)."""
-    drop = neardup_drop_set(docs_ds)
-    return apply_drop_set(docs_ds, drop), drop
+    """G3+G4 composed: returns (deduped_docs, drop_ds)."""
+    drop_ds = neardup_drop_ds(docs_ds)
+    return apply_drop_ds(docs_ds, drop_ds), drop_ds
