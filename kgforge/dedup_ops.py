@@ -415,13 +415,12 @@ def _para_hash_factory(seed: int):
 CONTENT_DEDUP_DIST_ROWS = 50_000_000
 
 
-def _dup_h1_values(h1_ds, n_docs_hint, strategy: str) -> np.ndarray:
-    """Sorted array of DUPLICATED ``__h1`` values from a one-column
-    int64 Dataset.  'driver' gathers every hash (8 B/row) and sorts;
-    'distributed' runs groupby(__h1).count() and returns only the
-    collisions — the hash column never concentrates on the driver
-    (local-mode caveat: Ray 2.49 pays ~7 µs/group on the mostly
-    singleton hashes, so 'auto' picks 'driver' below the threshold)."""
+def _resolve_dedup_strategy(strategy: str, n_docs_hint) -> str:
+    """'auto' → 'driver'/'distributed' on the KGFORGE_CONTENT_DEDUP_DIST_ROWS
+    doc threshold.  Resolved ONCE per operator call: the same choice
+    governs the collision scan AND winner resolution/application (a
+    corpus whose hash column overwhelms the driver would overwhelm it
+    with winner maps too)."""
     import os
 
     if strategy == "auto":
@@ -432,6 +431,18 @@ def _dup_h1_values(h1_ds, n_docs_hint, strategy: str) -> np.ndarray:
         # extra upstream execution a Dataset.count() costs
         n = n_docs_hint() if callable(n_docs_hint) else n_docs_hint
         strategy = "distributed" if n > limit else "driver"
+    if strategy not in ("driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return strategy
+
+
+def _dup_h1_values(h1_ds, strategy: str) -> np.ndarray:
+    """Sorted array of DUPLICATED ``__h1`` values from a one-column
+    int64 Dataset.  'driver' gathers every hash (8 B/row) and sorts;
+    'distributed' runs groupby(__h1).count() and returns only the
+    collisions — the hash column never concentrates on the driver
+    (local-mode caveat: Ray 2.49 pays ~7 µs/group on the mostly
+    singleton hashes, so 'auto' picks 'driver' below the threshold)."""
     if strategy == "driver":
         chunks = [
             b["__h1"].to_numpy()
@@ -445,8 +456,6 @@ def _dup_h1_values(h1_ds, n_docs_hint, strategy: str) -> np.ndarray:
         if len(allh) < 2:
             return np.array([], dtype=np.int64)
         return np.unique(allh[:-1][allh[:-1] == allh[1:]])
-    if strategy != "distributed":
-        raise ValueError(f"unknown strategy {strategy!r}")
     agg = h1_ds.groupby("__h1").aggregate(Count(alias_name="__n"))
     chunks = [
         b["__h1"].to_numpy()[b["__n"].to_numpy() > 1]
@@ -456,6 +465,170 @@ def _dup_h1_values(h1_ds, n_docs_hint, strategy: str) -> np.ndarray:
     if not chunks:
         return np.array([], dtype=np.int64)
     return np.sort(np.concatenate(chunks))
+
+
+def _paragraph_dedup_distributed(
+    ds, id_col: str, text_col: str, sep: str, cand_rows, num_partitions: int = 8
+):
+    """Distributed winner resolution + application for paragraph dedup
+    (VERDICT r2 item 2): candidate paragraph rows stay a Dataset; the
+    per-(h1, h2) winner is picked by a ``map_groups`` over DUPLICATED
+    groups only; the non-winner (doc, paragraph-index) rows aggregate
+    into per-doc drop lists (``ListAgg``); docs that hold no dropped
+    paragraph pass through a broadcast Bloom miss-filter untouched, and
+    only the affected docs join their drop list for the local rebuild —
+    the winner map never lands on the driver."""
+    from .analytic import ListAgg
+    from .bloom import bloom_semi_filter, build_bloom
+    from .rayutil import drop_empty_blocks
+
+    cand = ds.map_batches(cand_rows, batch_format="pyarrow").materialize()
+
+    def pick(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__h1": pa.array([], pa.int64()),
+                "__h2": pa.array([], pa.int64()),
+                "__wid": pa.array([], g.schema.field("__id").type),
+                "__wpidx": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        wid, wp = min(zip(g["__id"].to_pylist(), g["__pidx"].to_pylist()))
+        return pa.table(
+            {
+                "__h1": g.column("__h1").slice(0, 1),
+                "__h2": g.column("__h2").slice(0, 1),
+                "__wid": pa.array([wid], g.schema.field("__id").type),
+                "__wpidx": pa.array([int(wp)], pa.int64()),
+            }
+        )
+
+    winners = drop_empty_blocks(
+        cand.groupby(["__h1", "__h2"]).map_groups(pick, batch_format="pyarrow")
+    )
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: pc.fill_null(texts, ""),
+                "n_dropped_paragraphs": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    if winners.count() == 0:
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+
+    dj = cand.join(
+        winners,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("__h1", "__h2"),
+        left_suffix="",
+        right_suffix="_r",
+    )
+    drops = drop_empty_blocks(dj).map_batches(
+        lambda t: t.filter(
+            pc.invert(
+                pc.and_(
+                    pc.equal(t["__id"], t["__wid"]),
+                    pc.equal(t["__pidx"], t["__wpidx"]),
+                )
+            )
+        ).select(["__id", "__pidx"]),
+        batch_format="pyarrow",
+    )
+    # pack the per-doc pidx list into a binary blob: pyarrow's acero
+    # join rejects list<> non-key payloads (same workaround as the sig
+    # blobs in steps/dedup._verify_pairs_ds)
+    drops_agg = drop_empty_blocks(
+        drops.groupby("__id").aggregate(ListAgg("__pidx", alias_name="__drop_pidx"))
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t["__id"],
+                "__drop_blob": pa.array(
+                    [
+                        np.asarray(x, dtype=np.int64).tobytes()
+                        for x in t["__drop_pidx"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_affected = drops_agg.count()
+    if n_affected == 0:
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+
+    bf = build_bloom(drops_agg, id_col, capacity=n_affected)
+    import ray
+
+    words_ref = ray.put(bf.words)
+    m, k = bf.m, bf.k
+
+    def _hit_mask(t: pa.Table) -> np.ndarray:
+        from .bloom import _SEED, BloomFilter
+        from .relops import sample_hash_u64
+
+        col = t[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        f = BloomFilter(m, k, ray.get(words_ref))
+        return f.contains_hashes(sample_hash_u64(col, _SEED))
+
+    clean = ds.map_batches(
+        lambda t: passthrough(t.filter(pa.array(~_hit_mask(t)))),
+        batch_format="pyarrow",
+    )
+    maybe = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).filter(pa.array(_hit_mask(t))),
+        batch_format="pyarrow",
+    )
+    mj = maybe.join(
+        drops_agg,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "").to_pylist()
+        blobs = t["__drop_blob"].to_pylist()
+        out_texts: list[str] = []
+        out_drops = np.zeros(len(texts), dtype=np.int64)
+        for r, (txt, blob) in enumerate(zip(texts, blobs)):
+            if not blob:  # bloom false positive: no drop list → unchanged
+                out_texts.append(txt)
+                continue
+            paras = txt.split(sep)
+            dset = set(np.frombuffer(blob, dtype=np.int64).tolist())
+            kept = [p for i2, p in enumerate(paras) if i2 not in dset]
+            out_texts.append(sep.join(kept))
+            out_drops[r] = len(paras) - len(kept)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: pa.array(out_texts, pa.string()),
+                "n_dropped_paragraphs": pa.array(out_drops, pa.int64()),
+            }
+        )
+
+    rebuilt = drop_empty_blocks(mj).map_batches(rebuild, batch_format="pyarrow")
+    return clean.union(rebuilt)
 
 
 def paragraph_dedup(
@@ -484,9 +657,11 @@ def paragraph_dedup(
     Pass 2 refines the h64 candidate set with a second independent hash
     and picks winners, so a wrong drop needs a 128-bit collision. Pass 3
     re-splits each doc locally, recomputes hashes, and keeps (non-dup |
-    winner | short) paragraphs — only the winner map is broadcast
-    (ray.put once; small while duplication is boilerplate-sparse, the
-    same caveat as the neardup drop set)."""
+    winner | short) paragraphs.  The resolved ``strategy`` also governs
+    winner RESOLUTION and APPLICATION: 'driver' broadcasts a winner map
+    (ray.put once; fastest at bench scale), 'distributed' keeps winners
+    and per-doc drop lists as Datasets applied by join — see
+    ``_paragraph_dedup_distributed``."""
     import ray
 
     h41 = _para_hash_factory(41)
@@ -500,14 +675,13 @@ def paragraph_dedup(
 
     # pass 1: candidate duplicate h1 values (driver gather or
     # distributed groupby-count>1 — see _dup_h1_values)
+    strategy = _resolve_dedup_strategy(strategy, ds.count)
     winners: dict[tuple[int, int], tuple] = {}
     dup_sorted = _dup_h1_values(
-        ds.map_batches(para_hashes, batch_format="pyarrow"), ds.count, strategy
+        ds.map_batches(para_hashes, batch_format="pyarrow"), strategy
     )
 
-    if len(dup_sorted):
-        _dup = dup_sorted
-
+    def _make_cand_rows(dup: np.ndarray):
         def cand_rows(t: pa.Table) -> pa.Table:
             ids, pidx, flat, _ = _flat_paragraphs(t, id_col, text_col, sep)
             if not len(flat):
@@ -516,9 +690,9 @@ def paragraph_dedup(
                      "__h1": pa.array([], pa.int64()), "__h2": pa.array([], pa.int64())}
                 )
             h1 = h41(flat)
-            pos = np.searchsorted(_dup, h1)
-            pos[pos == len(_dup)] = 0
-            mask = (_dup[pos] == h1) & (np.asarray(pc.utf8_length(flat)) >= min_len)
+            pos = np.searchsorted(dup, h1)
+            pos[pos == len(dup)] = 0
+            mask = (dup[pos] == h1) & (np.asarray(pc.utf8_length(flat)) >= min_len)
             keep = np.nonzero(mask)[0]
             flat_k = flat.take(pa.array(keep))
             return pa.table(
@@ -530,9 +704,19 @@ def paragraph_dedup(
                 }
             )
 
+        return cand_rows
+
+    if strategy == "distributed" and len(dup_sorted):
+        return _paragraph_dedup_distributed(
+            ds, id_col, text_col, sep, _make_cand_rows(dup_sorted)
+        )
+
+    if len(dup_sorted):
         # pass 2: winners among TRUE duplicates only (candidate rows are
         # a tiny fraction of the corpus — the boilerplate)
-        cand = ds.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
+        cand = ds.map_batches(
+            _make_cand_rows(dup_sorted), batch_format="pyarrow"
+        ).to_pandas()
         grp: dict[tuple[int, int], list[tuple]] = {}
         for i, j, a, b in zip(cand["__id"], cand["__pidx"], cand["__h1"], cand["__h2"]):
             grp.setdefault((int(a), int(b)), []).append((i, int(j)))
@@ -601,8 +785,89 @@ def paragraph_dedup(
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
 
+def _exact_filter_distributed(
+    ds, id_col: str, text_col: str, dup_sorted: np.ndarray, h41, h97,
+    num_partitions: int,
+):
+    """Distributed winner resolution + application (VERDICT r2 item 2):
+    winners = in-cluster ``groupby(__h1, __h2).min(id)`` over the
+    candidate rows (never a driver pandas gather), applied by a
+    left-outer join of the CANDIDATE rows only — non-candidates pass
+    through a vectorized searchsorted filter with no shuffle, so the
+    join moves O(dup-group members), and neither ids nor winner maps
+    ever concentrate on the driver."""
+    from .rayutil import drop_empty_blocks
+
+    _dup = dup_sorted
+
+    def tag(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        h1 = h41(texts)
+        pos = np.searchsorted(_dup, h1)
+        pos[pos == len(_dup)] = 0
+        cand = _dup[pos] == h1
+        return (
+            t.append_column("__h1", pa.array(h1, pa.int64()))
+            .append_column("__h2", pa.array(h97(texts), pa.int64()))
+            .append_column("__cand", pa.array(cand))
+        )
+
+    # materialized once: three consumers (winner groupby, clean filter,
+    # maybe side) read the tagged blocks, upstream never re-executes
+    aug = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    winners = (
+        aug.map_batches(
+            lambda t: t.filter(t["__cand"]).select([id_col, "__h1", "__h2"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["__h1", "__h2"])
+        .aggregate(Min(id_col, alias_name="__wid"), Count(alias_name="__n"))
+    )
+    winners = drop_empty_blocks(
+        winners.map_batches(
+            lambda t: t.filter(pc.greater(t["__n"], 1)).drop_columns(["__n"]),
+            batch_format="pyarrow",
+        )
+    )
+    helper = ["__h1", "__h2", "__cand"]
+    if winners.count() == 0:
+        return aug.map_batches(
+            lambda t: t.drop_columns(helper), batch_format="pyarrow"
+        )
+    clean = aug.map_batches(
+        lambda t: t.filter(pc.invert(t["__cand"])).drop_columns(helper),
+        batch_format="pyarrow",
+    )
+    maybe = aug.map_batches(
+        lambda t: t.filter(t["__cand"]).drop_columns(["__cand"]),
+        batch_format="pyarrow",
+    )
+    j = maybe.join(
+        winners,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("__h1", "__h2"),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        w = t["__wid"]
+        keep = pc.fill_null(
+            pc.or_kleene(pc.is_null(w), pc.equal(t[id_col], w)), False
+        )
+        return t.filter(keep).drop_columns(["__h1", "__h2", "__wid"])
+
+    surv = drop_empty_blocks(j).map_batches(survivors, batch_format="pyarrow")
+    return clean.union(surv)
+
+
 def exact_dedup_filter(
-    ds, id_col: str = "doc_id", text_col: str = "text", *, strategy: str = "auto"
+    ds, id_col: str = "doc_id", text_col: str = "text", *, strategy: str = "auto",
+    num_partitions: int = 8,
 ):
     """Filtering form of exact dedup: keep exactly ONE row (min id) per
     distinct text, streaming the rest out — the form a curation pipeline
@@ -611,9 +876,13 @@ def exact_dedup_filter(
     Same scale shape as paragraph_dedup: pass 1 gathers 8 B/doc content
     hashes, pass 2 refines h64 candidates with an independent second
     hash and picks min-id winners (wrong drop needs a 128-bit
-    collision), pass 3 filters with the broadcast winner map — text
-    never leaves its block, and only duplicated content reaches the
-    driver."""
+    collision), pass 3 filters the candidates against the winners — text
+    never leaves its block.  The resolved ``strategy`` governs winner
+    RESOLUTION and APPLICATION too: 'driver' builds a broadcast winner
+    dict (measured fastest at bench scale), 'distributed' keeps winners
+    as a Dataset and applies them by join
+    (``_exact_filter_distributed``), so nothing dup-group-sized ever
+    lands on the driver."""
     import ray
 
     h41 = _para_hash_factory(141)
@@ -625,45 +894,49 @@ def exact_dedup_filter(
             texts = texts.combine_chunks()
         return pc.fill_null(texts, "")
 
+    strategy = _resolve_dedup_strategy(strategy, ds.count)
     dup_sorted = _dup_h1_values(
         ds.map_batches(
             lambda t: pa.table({"__h1": pa.array(h41(_texts(t)), pa.int64())}),
             batch_format="pyarrow",
         ),
-        ds.count,
         strategy,
     )
+    if not len(dup_sorted):
+        return ds
+    if strategy == "distributed":
+        return _exact_filter_distributed(
+            ds, id_col, text_col, dup_sorted, h41, h97, num_partitions
+        )
 
-    winners: dict[tuple[int, int], object] = {}
-    if len(dup_sorted):
-        _dup = dup_sorted
+    _dup = dup_sorted
 
-        def cand_rows(t: pa.Table) -> pa.Table:
-            texts = _texts(t)
-            h1 = h41(texts)
-            pos = np.searchsorted(_dup, h1)
-            pos[pos == len(_dup)] = 0
-            keep = np.nonzero(_dup[pos] == h1)[0]
-            texts_k = texts.take(pa.array(keep))
-            ids = t[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return pa.table(
-                {
-                    "__id": ids.take(pa.array(keep)),
-                    "__h1": pa.array(h1[keep], pa.int64()),
-                    "__h2": pa.array(
-                        h97(texts_k) if len(keep) else np.array([], dtype=np.int64),
-                        pa.int64(),
-                    ),
-                }
-            )
+    def cand_rows(t: pa.Table) -> pa.Table:
+        texts = _texts(t)
+        h1 = h41(texts)
+        pos = np.searchsorted(_dup, h1)
+        pos[pos == len(_dup)] = 0
+        keep = np.nonzero(_dup[pos] == h1)[0]
+        texts_k = texts.take(pa.array(keep))
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "__id": ids.take(pa.array(keep)),
+                "__h1": pa.array(h1[keep], pa.int64()),
+                "__h2": pa.array(
+                    h97(texts_k) if len(keep) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
 
-        cand = ds.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
-        grp: dict[tuple[int, int], list] = {}
-        for i, a, b in zip(cand["__id"], cand["__h1"], cand["__h2"]):
-            grp.setdefault((int(a), int(b)), []).append(i)
-        winners = {k: min(v) for k, v in grp.items() if len(v) > 1}
+    cand = ds.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
+    grp: dict[tuple[int, int], list] = {}
+    for i, a, b in zip(cand["__id"], cand["__h1"], cand["__h2"]):
+        grp.setdefault((int(a), int(b)), []).append(i)
+    winners = {k: min(v) for k, v in grp.items() if len(v) > 1}
 
     winners_ref = ray.put(winners)
     _dup_b = dup_sorted
@@ -733,12 +1006,23 @@ def content_hashes(ds, text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+#: above this many Bloom-hit candidate rows the exact verification and
+#: the drop application switch from the driver gather (measured fastest
+#: on normal shards, whose candidate count is the re-post rate) to the
+#: join-based distributed plan (a backfill shard that is 90% known
+#: content would otherwise gather ~the whole shard).  Override via
+#: KGFORGE_INC_DEDUP_DIST_ROWS.
+INC_DEDUP_DIST_ROWS = 5_000_000
+
+
 def incremental_dedup_filter(
     new_ds,
     known_hashes,
     *,
     text_col: str = "text",
     fpp: float = 0.01,
+    strategy: str = "auto",
+    num_partitions: int = 8,
 ):
     """Drop NEW docs whose content already exists in an ingested corpus
     (the daily-shard op: never re-deduplicate the whole 100 TB corpus).
@@ -749,16 +1033,25 @@ def incremental_dedup_filter(
     (mergeable BloomSketch) and broadcast once; new docs stream through
     it — misses are definitively novel (no false negatives) and pass
     straight through.  The bloom hits (true dups + ~fpp false
-    positives, a small set) are verified EXACTLY: their (h1, h2) keys
-    broadcast to one vectorized ``is_in`` filter over the known index
-    (streamed, never shuffled), and only confirmed (h1, h2) matches are
-    dropped — so a Bloom false positive can never drop a novel doc, and
-    a wrong drop needs a 128-bit collision.  Intra-shard duplicates are
-    out of scope: run ``exact_dedup_filter`` on the shard first.
+    positives) are verified EXACTLY against the index, and only
+    confirmed (h1, h2) matches are dropped — so a Bloom false positive
+    can never drop a novel doc, and a wrong drop needs a 128-bit
+    collision.  ``strategy='driver'`` broadcasts the candidate keys and
+    gathers the touched index rows (fastest while candidates are a
+    normal shard's re-post rate); ``'distributed'`` (auto above
+    KGFORGE_INC_DEDUP_DIST_ROWS candidates) verifies by JOIN — a second
+    Bloom of the candidate h1s prunes the index scan, candidate keys
+    meet the touched index rows in one inner join, and the confirmed
+    keys anti-join the shard — nothing candidate-sized lands on the
+    driver.  Intra-shard duplicates are out of scope: run
+    ``exact_dedup_filter`` on the shard first.
     """
+    import os
+
     import ray
 
     from .bloom import bloom_semi_filter, build_bloom
+    from .rayutil import drop_empty_blocks
 
     n_known = known_hashes.count()
     if n_known == 0:
@@ -772,28 +1065,119 @@ def incremental_dedup_filter(
         )
 
     hashed = new_ds.map_batches(add_h, batch_format="pyarrow").materialize()
-    candidates = bloom_semi_filter(hashed, "__h1", bf)
-    cand = candidates.select_columns(["__h1", "__h2"]).to_pandas()
-    if len(cand):
-        # exact verify: which candidate (h1, h2) keys exist in the index?
-        # candidate keys broadcast; the (possibly huge) index streams.
-        cand_h1 = pa.array(np.sort(cand["__h1"].unique()), pa.int64())
-
-        def touch(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["h1"], value_set=cand_h1))
-
-        known_touch = known_hashes.map_batches(touch, batch_format="pyarrow").to_pandas()
-        # a fully-filtered Dataset can come back as a column-less frame
-        known_set = (
-            set(zip(known_touch["h1"], known_touch["h2"]))
-            if len(known_touch)
-            else set()
+    candidates = bloom_semi_filter(hashed, "__h1", bf).materialize()
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return hashed.map_batches(
+            lambda t: t.drop_columns(["__h1", "__h2"]), batch_format="pyarrow"
         )
-        dup_keys = {
-            (a, b) for a, b in zip(cand["__h1"], cand["__h2"]) if (a, b) in known_set
-        }
-    else:
-        dup_keys = set()
+    if strategy == "auto":
+        limit = int(os.environ.get("KGFORGE_INC_DEDUP_DIST_ROWS", INC_DEDUP_DIST_ROWS))
+        strategy = "distributed" if n_cand > limit else "driver"
+    if strategy not in ("driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if strategy == "distributed":
+        # distinct candidate keys, renamed to the index's column names
+        cand_keys = drop_empty_blocks(
+            candidates.select_columns(["__h1", "__h2"])
+            .groupby(["__h1", "__h2"])
+            .aggregate(Count(alias_name="__n"))
+            .map_batches(
+                lambda t: pa.table({"h1": t["__h1"], "h2": t["__h2"]}),
+                batch_format="pyarrow",
+            )
+        )
+        # prune the index scan to rows whose h1 might be a candidate,
+        # then confirm exactly with ONE inner join (keys only, 16 B/row)
+        cbf = build_bloom(cand_keys, "h1", capacity=max(cand_keys.count(), 1))
+        known_touch = drop_empty_blocks(
+            bloom_semi_filter(known_hashes, "h1", cbf)
+            .groupby(["h1", "h2"])
+            .aggregate(Count(alias_name="__n"))
+            .map_batches(
+                lambda t: t.select(["h1", "h2"]), batch_format="pyarrow"
+            )
+        )
+        dup_keys_ds = drop_empty_blocks(
+            cand_keys.join(
+                known_touch,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("h1", "h2"),
+                left_suffix="",
+                right_suffix="_r",
+            )
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "__h1": t["h1"],
+                    "__h2": t["h2"],
+                    "__drop": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if dup_keys_ds.count() == 0:
+            return hashed.map_batches(
+                lambda t: t.drop_columns(["__h1", "__h2"]), batch_format="pyarrow"
+            )
+        # anti-join application: confirmed keys carry a marker through a
+        # left-outer join of the CANDIDATE rows only; Bloom misses are
+        # definitively novel and pass through with no shuffle (same
+        # shape as steps/dedup.apply_drop_ds)
+        words_ref = ray.put(bf.words)
+        m, k = bf.m, bf.k
+
+        def miss_rows(t: pa.Table) -> pa.Table:
+            from .bloom import BloomFilter
+
+            f = BloomFilter(m, k, ray.get(words_ref))
+            col = t["__h1"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            from .relops import sample_hash_u64
+
+            from .bloom import _SEED
+
+            hit = f.contains_hashes(sample_hash_u64(col, _SEED))
+            return t.filter(pa.array(~hit)).drop_columns(["__h1", "__h2"])
+
+        clean = hashed.map_batches(miss_rows, batch_format="pyarrow")
+        j = candidates.join(
+            dup_keys_ds,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("__h1", "__h2"),
+            left_suffix="",
+            right_suffix="_r",
+        )
+        survivors = drop_empty_blocks(j).map_batches(
+            lambda t: t.filter(pc.is_null(t["__drop"])).drop_columns(
+                ["__h1", "__h2", "__drop"]
+            ),
+            batch_format="pyarrow",
+        )
+        return clean.union(survivors)
+
+    cand = candidates.select_columns(["__h1", "__h2"]).to_pandas()
+    # exact verify: which candidate (h1, h2) keys exist in the index?
+    # candidate keys broadcast; the (possibly huge) index streams.
+    cand_h1 = pa.array(np.sort(cand["__h1"].unique()), pa.int64())
+
+    def touch(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["h1"], value_set=cand_h1))
+
+    known_touch = known_hashes.map_batches(touch, batch_format="pyarrow").to_pandas()
+    # a fully-filtered Dataset can come back as a column-less frame
+    known_set = (
+        set(zip(known_touch["h1"], known_touch["h2"]))
+        if len(known_touch)
+        else set()
+    )
+    dup_keys = {
+        (a, b) for a, b in zip(cand["__h1"], cand["__h2"]) if (a, b) in known_set
+    }
     dup_ref = ray.put(dup_keys)
 
     def keep(t: pa.Table) -> pa.Table:

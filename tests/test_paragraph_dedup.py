@@ -151,3 +151,39 @@ def test_paragraph_dedup_distributed_strategy_equivalent(ray_session):
 
     with pytest.raises(ValueError, match="unknown strategy"):
         paragraph_dedup(ds, strategy="nope").to_pandas()
+
+
+def test_distributed_winners_dup_heavy_corpus(ray_session):
+    """VERDICT r2 item 2 done-criterion: >=50% duplicate rate, BOTH
+    operators forced distributed, checked against the DuckDB oracle /
+    min-id contract (string ids exercise Min over non-numeric keys)."""
+    from kgforge.dedup_ops import exact_dedup_filter
+
+    base = [f"unique para {i}\n\nSHARED BOILERPLATE\n\nmore {i}" for i in range(20)]
+    dups = [base[i % 20] for i in range(30)]  # 30 of 50 docs are copies
+    docs = pd.DataFrame(
+        {"doc_id": [f"d{i:03d}" for i in range(50)], "text": base + dups}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    got = (
+        exact_dedup_filter(ds, strategy="distributed")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        docs.loc[~docs["text"].duplicated(keep="first")]
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+    para = (
+        paragraph_dedup(rd.from_arrow(pa.Table.from_pandas(
+            want, preserve_index=False)).repartition(4), strategy="distributed")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        para, _oracle(want).sort_values("doc_id", ignore_index=True)
+    )
