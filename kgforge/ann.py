@@ -24,12 +24,18 @@ def _driver_merge(part: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
     IVF search share — IVF at nprobe=all is exact-equal to brute force
     (and to the min-id SQL oracle) only because both funnel through this
     single implementation."""
+    if part.empty:
+        # an empty Dataset→pandas round trip can drop the columns too
+        return pd.DataFrame(
+            {"query_idx": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64"), "rank": pd.Series(dtype="int64")}
+        )
     out = []
     for _qi, grp in part.groupby("query_idx"):
         g = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k).copy()
         g["rank"] = range(1, len(g) + 1)
         out.append(g)
-    return pd.concat(out, ignore_index=True) if out else part.assign(rank=[])
+    return pd.concat(out, ignore_index=True)
 
 
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
@@ -68,13 +74,25 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
     return _driver_merge(part, k, id_col)
 
 
-def train_centroids(ds, n_centroids: int = 16, sample_mod: int = 5,
+def train_centroids(ds, n_centroids: int | None = 16, sample_mod: int | None = 5,
                     seed: int = 3, iters: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id") -> np.ndarray:
     """Seeded mini k-means on a DETERMINISTIC hash-based sample (id-hash
     % sample_mod == 0 → ~1/sample_mod of rows; `Dataset.random_sample`
     varies with block layout, which made the quantizer nondeterministic
-    across processes). The quantizer is small, trained once, broadcast."""
+    across processes). The quantizer is small, trained once, broadcast.
+
+    ``n_centroids=None`` sizes the codebook at ~√N (the classic IVF
+    sizing: ~√N cells × ~√N rows/cell balances probe cost against scan
+    cost); ``sample_mod=None`` then picks the modulus so the training
+    sample is ~64 rows per centroid (the sample is the only
+    driver-materialized structure: 64·√N rows, ~2 M at N = 10⁹)."""
+    if n_centroids is None or sample_mod is None:
+        n_rows = ds.count()
+        if n_centroids is None:
+            n_centroids = max(16, int(round(np.sqrt(max(n_rows, 1)))))
+        if sample_mod is None:
+            sample_mod = max(1, n_rows // max(64 * n_centroids, 1))
     import pyarrow as pa_
     import pyarrow.compute as pc_
 
@@ -132,26 +150,15 @@ def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str =
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
-             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             dtype=np.float32) -> pd.DataFrame:
-    """IVF search: filter to the nprobe cells nearest each query, then
-    exact cosine within those cells only. With ``nprobe == len(centroids)``
-    every cell is probed, making the result exact (equal to brute force) —
-    that configuration drives the SQL-verified driver query."""
-    q = _normalize(np.asarray(query_vecs, dtype=dtype))
-    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted: set[int] = set(probe_cells.flatten().tolist())
-    assigned = ivf_assign(ds, centroids, id_col, vec_col)
-    import pyarrow.compute as pc
-
-    cells_arr = pa.array(sorted(wanted), pa.int64())
-    pruned = assigned.map_batches(
-        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=cells_arr)),
-        batch_format="pyarrow",
-    )
+def _probe_topk(assigned, q: np.ndarray, probe_cells: np.ndarray, k: int,
+                id_col: str, vec_col: str, dtype) -> pd.DataFrame:
+    """Per-batch exact top-k inside the probed cells of an
+    (ivf_cell-tagged) dataset + the shared driver merge — the one kernel
+    both the streaming ``ivf_topk`` and the persisted-index
+    ``ivf_search_index`` funnel through (identical tie order →
+    identical results)."""
     nq = q.shape[0]
-    cell_sets = [set(probe_cells[qi].tolist()) for qi in range(nq)]
+    cell_sets = [np.sort(probe_cells[qi]) for qi in range(nq)]
 
     def batch_topk(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
@@ -159,7 +166,7 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
         mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=dtype))
         qi_out, id_out, c_out = [], [], []
         for qi in range(nq):
-            mask = np.isin(cells, list(cell_sets[qi]))
+            mask = np.isin(cells, cell_sets[qi])
             if not mask.any():
                 continue
             cos = mat[mask] @ q[qi]
@@ -177,5 +184,165 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
             }
         )
 
-    part = pruned.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    part = assigned.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     return _driver_merge(part, k, id_col)
+
+
+def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             dtype=np.float32) -> pd.DataFrame:
+    """IVF search over a STREAMING (un-persisted) dataset: filter to the
+    nprobe cells nearest each query, then exact cosine within those
+    cells only. With ``nprobe == len(centroids)`` every cell is probed,
+    making the result exact (equal to brute force) — that configuration
+    drives the SQL-verified driver query.  For a corpus worth indexing
+    once and probing many times, build the cell-partitioned layout with
+    ``ivf_build`` and search with ``ivf_search_index`` — that path
+    prunes READS, not just the stream."""
+    q = _normalize(np.asarray(query_vecs, dtype=dtype))
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted: set[int] = set(probe_cells.flatten().tolist())
+    assigned = ivf_assign(ds, centroids, id_col, vec_col)
+    import pyarrow.compute as pc
+
+    cells_arr = pa.array(sorted(wanted), pa.int64())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=cells_arr)),
+        batch_format="pyarrow",
+    )
+    return _probe_topk(pruned, q, probe_cells, k, id_col, vec_col, dtype)
+
+
+# ---------------------------------------------------------------------------
+# persisted cell-partitioned index (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(ds, path: str, n_centroids: int | None = None, *,
+              sample_mod: int | None = None, seed: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Build the persisted IVF index: train a ~√N quantizer, tag every
+    row with its nearest-centroid cell, and write hive-partitioned
+    parquet (``<path>/cells/ivf_cell=<c>/``) so a probe READS only its
+    cells — scan pruning at the storage layer, not a filter over the
+    full stream.  The centroid codebook lands next to the cells
+    (``<path>/centroids.parquet``).  Returns the centroids.
+
+    One directory per cell also makes the build resumable/appendable in
+    the usual partitioned-parquet way (task-brief 'resumable output')."""
+    import pyarrow.parquet as pq
+
+    centroids = train_centroids(
+        ds, n_centroids, sample_mod, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(ds, centroids, id_col, vec_col)
+    assigned.write_parquet(f"{path}/cells", partition_cols=["ivf_cell"])
+    dim = centroids.shape[1]
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(centroids)), pa.int64()),
+                "centroid": pa.array(
+                    [c.tolist() for c in centroids], pa.list_(pa.float32(), dim)
+                ),
+            }
+        ),
+        f"{path}/centroids.parquet",
+    )
+    return centroids
+
+
+def load_centroids(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{path}/centroids.parquet")
+    return np.asarray(t["centroid"].to_pylist(), dtype=np.float32)
+
+
+def ivf_search_index(path: str, query_vecs: np.ndarray, k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding", dtype=np.float32) -> pd.DataFrame:
+    """Search a persisted ``ivf_build`` index: only the union of each
+    query's ``nprobe`` nearest cell DIRECTORIES is read from storage
+    (hive-partitioned layout → the un-probed ~(1 - nprobe/√N) of the
+    corpus never leaves disk).  Funnels through the same probe kernel as
+    ``ivf_topk``, so ``nprobe == n_centroids`` is exact-equal to brute
+    force."""
+    import os
+
+    import ray.data as rd
+
+    centroids = load_centroids(path)
+    q = _normalize(np.asarray(query_vecs, dtype=dtype))
+    nprobe = min(nprobe, len(centroids))
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = sorted(set(probe_cells.flatten().tolist()))
+    import glob
+
+    # Ray 2.49 read_parquet takes a LIST of files, not directories —
+    # expand each probed cell dir (same pattern as kgforge.run stage 2)
+    dirs = [
+        f
+        for c in wanted
+        if os.path.isdir(d := f"{path}/cells/ivf_cell={c}")
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    if not dirs:
+        return pd.DataFrame(
+            {"query_idx": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype=np.dtype(dtype)), "rank": pd.Series(dtype="int64")}
+        )
+    ds = rd.read_parquet(dirs)
+    names = ds.schema().base_schema.names if ds.schema() else []
+    if "ivf_cell" in names:
+        # hive partition values deserialize as STRINGS — cast back
+        import pyarrow.compute as pc
+
+        assigned = ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("ivf_cell"),
+                "ivf_cell",
+                pc.cast(t["ivf_cell"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        # layout without the hive column — re-derive the cell tag from
+        # the (broadcast) codebook; deterministic, so tags match the build
+        assigned = ivf_assign(ds, centroids, id_col, vec_col)
+    return _probe_topk(assigned, q, probe_cells, k, id_col, vec_col, dtype)
+
+
+def ivf_recall_report(ds, query_vecs: np.ndarray, k: int = 10,
+                      nprobes: tuple[int, ...] = (1, 2, 4, 8),
+                      n_centroids: int | None = None, seed: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """recall@k vs nprobe against the exact brute-force ground truth:
+    one row per nprobe with mean recall and the fraction of cells
+    probed.  The tuning artifact a 100 TB similarity-search deployment
+    reads before picking nprobe (reported in BASELINE.md)."""
+    truth = brute_force_topk(ds, query_vecs, k, id_col, vec_col, dtype=np.float64)
+    truth_sets = {
+        int(qi): set(g[id_col].tolist())
+        for qi, g in truth.groupby("query_idx")
+    }
+    centroids = train_centroids(ds, n_centroids, None if n_centroids is None else 5,
+                                seed=seed, vec_col=vec_col, id_col=id_col)
+    mat = ds.materialize()
+    rows = []
+    for np_ in nprobes:
+        np_eff = min(int(np_), len(centroids))
+        got = ivf_topk(mat, centroids, query_vecs, k, np_eff, id_col, vec_col)
+        recalls = []
+        for qi, want in truth_sets.items():
+            have = set(got.loc[got["query_idx"] == qi, id_col].tolist())
+            recalls.append(len(have & want) / max(len(want), 1))
+        rows.append(
+            {
+                "nprobe": np_eff,
+                "n_centroids": len(centroids),
+                "recall_at_k": float(np.mean(recalls)) if recalls else 0.0,
+                "cells_probed_frac": np_eff / len(centroids),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -74,3 +74,43 @@ def test_train_centroids_tiny_table_falls_back():
     # deterministic across calls
     cent2 = train_centroids(rd.from_arrow(t), n_centroids=2)
     assert np.array_equal(cent, cent2)
+
+
+def test_ivf_build_and_search_index(emb_ds, qvecs, tmp_path):
+    """Persisted cell-partitioned index: probes read ONLY their cell
+    directories; nprobe=all through the index equals brute force."""
+    import os
+
+    from kgforge.ann import ivf_build, ivf_search_index, load_centroids
+
+    path = str(tmp_path / "ivf")
+    cent = ivf_build(emb_ds, path, n_centroids=8, sample_mod=2, seed=3)
+    assert np.array_equal(load_centroids(path), cent)
+    cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2  # real partitioned layout on disk
+    exact = ivf_search_index(path, qvecs, k=10, nprobe=len(cent), dtype=np.float64)
+    brute = brute_force_topk(emb_ds, qvecs, k=10, dtype=np.float64)
+    assert exact[["query_idx", "vec_id", "rank"]].reset_index(drop=True).equals(
+        brute[["query_idx", "vec_id", "rank"]].reset_index(drop=True)
+    )
+    # pruned probe: valid subset result with correct shape
+    part = ivf_search_index(path, qvecs, k=10, nprobe=1)
+    assert set(part.columns) == {"query_idx", "vec_id", "cosine", "rank"}
+    assert len(part) <= len(brute)
+
+
+def test_ivf_recall_monotone_in_nprobe(emb_ds, qvecs):
+    from kgforge.ann import ivf_recall_report
+
+    rep = ivf_recall_report(emb_ds, qvecs, k=10, nprobes=(1, 2, 4, 8, 16),
+                            n_centroids=16)
+    rec = rep["recall_at_k"].tolist()
+    assert all(b >= a - 1e-9 for a, b in zip(rec, rec[1:])), rec  # monotone
+    assert rec[-1] == 1.0  # nprobe = n_centroids → exact
+    assert rep["cells_probed_frac"].iloc[-1] == 1.0
+
+
+def test_train_centroids_sqrt_sizing(emb_ds):
+    cent = train_centroids(emb_ds, n_centroids=None)
+    n = emb_ds.count()
+    assert len(cent) == max(16, int(round(np.sqrt(n))))
