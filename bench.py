@@ -140,6 +140,72 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             out.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ---- extras: scale-path operator measurements --------------------------
+    # NOT in the headline total (BASELINE.md documents them separately so
+    # round-over-round totals stay comparable): the hashed
+    # million-partition window kernel and the persisted cell-partitioned
+    # IVF index (build + pruned search + recall@k vs nprobe)
+    extras: dict = {}
+    if not bench_queries:
+        pass  # scaling mode: flagship only
+    else:
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from kgforge.analytic import window
+
+        nw = 2_000_000
+        rng = np.random.RandomState(0)
+        wt = pa.table(
+            {
+                "k": pa.array(rng.permutation(nw) % 1_000_000, pa.int64()),
+                "o": pa.array(np.arange(nw), pa.int64()),
+                "v": pa.array(rng.randn(nw), pa.float64()),
+            }
+        )
+        wds = rd.from_arrow(wt).repartition(ncpu).materialize()
+        t0 = time.perf_counter()
+        window(
+            wds,
+            "k",
+            "o",
+            [{"out": "rn", "fn": "row_number"}, {"out": "cs", "fn": "cumsum", "col": "v"}],
+            strategy="hashed",
+            num_partitions=2 * ncpu,
+        ).materialize()
+        w_sec = time.perf_counter() - t0
+        extras["window_1m_parts_hashed_sec"] = round(w_sec, 3)
+        extras["window_1m_parts_rows_per_sec"] = round(nw / w_sec, 1)
+
+        from kgforge.ann import ivf_build, ivf_recall_report, ivf_search_index
+        from kgforge.relational import read
+
+        emb = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+        qv = np.asarray(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+            ).slice(0, 10)["embedding"].to_pylist(),
+            dtype=np.float32,
+        )
+        ivf_path = "/tmp/kgforge_bench_ivf"
+        shutil.rmtree(ivf_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        cent = ivf_build(emb, ivf_path, n_centroids=None)
+        extras["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+        extras["ivf_n_centroids"] = len(cent)
+        t0 = time.perf_counter()
+        ivf_search_index(ivf_path, qv, k=10, nprobe=4)
+        extras["ivf_search_nprobe4_sec"] = round(time.perf_counter() - t0, 3)
+        rep = ivf_recall_report(emb, qv, k=10, nprobes=(1, 2, 4, 8))
+        extras["ivf_recall_at_10"] = {
+            str(int(r.nprobe)): round(float(r.recall_at_k), 3)
+            for r in rep.itertuples()
+        }
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
@@ -152,6 +218,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "n_pages": n_pages,
         "n_triples": n_triples,
         "docs_per_sec": docs_per_sec,
+        "extras": extras,
     }
 
 

@@ -609,3 +609,27 @@ def test_pivot_empty_input_discovery(ray_session):
     # values=None discovery on an empty dataset must not KeyError
     out = pivot(empty, "g", "p", "v", agg="sum").to_pandas()
     assert len(out) == 0
+
+
+def test_window_hashed_strategy_parity(ray_session):
+    """strategy='hashed' (vectorized multi-group kernel over hash
+    buckets) must match strategy='groups' exactly — same DuckDB-proven
+    semantics, different physical grouping (the million-partition
+    path)."""
+    ds = read(SF, "events", ["user_id", "ts", "value"])
+    specs = [
+        {"out": "rn", "fn": "row_number"},
+        {"out": "rk", "fn": "rank"},
+        {"out": "tile", "fn": "ntile", "n": 4},
+        {"out": "lg", "fn": "lag", "col": "value"},
+        {"out": "cs", "fn": "cumsum", "col": "value"},
+        {"out": "rs3", "fn": "rolling_sum", "col": "value", "window": 3},
+    ]
+    a = window(ds, "user_id", "ts", specs, strategy="groups").to_pandas()
+    b = window(ds, "user_id", "ts", specs, strategy="hashed", num_partitions=7).to_pandas()
+    key = ["user_id", "ts"]
+    a = a[sorted(a.columns)].sort_values(key, ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        window(ds, "user_id", "ts", specs, strategy="nope")

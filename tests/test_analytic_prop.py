@@ -163,3 +163,45 @@ def test_cumulative_null_semantics_regression():
     assert out["cs"].fillna(-1).tolist() == [-1.0, 1.0, 1.0, 3.0]
     assert out["cmn"].fillna(-1).tolist() == [-1.0, 1.0, 1.0, 1.0]
     assert out["cmx"].fillna(-1).tolist() == [-1.0, 1.0, 1.0, 2.0]
+
+
+# --- the vectorized multi-group kernel (window strategy='hashed') ----------
+
+
+def _engine_grouped(df: pd.DataFrame, specs) -> pd.DataFrame:
+    from kgforge.analytic import _apply_specs_grouped
+
+    return _apply_specs_grouped(df.copy(), ["p"], ["o"], [True], specs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(unique_order_frames())
+def test_grouped_kernel_matches_duckdb_unique_order(df):
+    _compare(_engine_grouped(df, FULL_SPECS), _oracle(df, FULL_SQL))
+
+
+@settings(max_examples=60, deadline=None)
+@given(tied_order_frames())
+def test_grouped_kernel_matches_duckdb_with_ties(df):
+    _compare(_engine_grouped(df, TIE_SPECS), _oracle(df, TIE_SQL))
+
+
+def test_grouped_kernel_null_partition_and_cumulatives():
+    """NULL partition keys form their own group (SQL/Ray semantics);
+    null-skipping cumulative semantics hold across groups."""
+    df = pd.DataFrame(
+        {
+            "p": [np.nan, 0.0, np.nan, 0.0, np.nan],
+            "o": [0, 1, 2, 3, 4],
+            "v": [np.nan, 1.0, 2.0, np.nan, 3.0],
+        }
+    )
+    out = _engine_grouped(
+        df,
+        [
+            {"out": "rn", "fn": "row_number"},
+            {"out": "cs", "fn": "cumsum", "col": "v"},
+        ],
+    ).sort_values("o", ignore_index=True)
+    assert out["rn"].tolist() == [1, 1, 2, 2, 3]
+    assert out["cs"].fillna(-1).tolist() == [-1.0, 1.0, 2.0, 1.0, 5.0]
