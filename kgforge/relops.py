@@ -346,28 +346,54 @@ def smart_join(
         strategy = "broadcast" if right.count() <= limit else "shuffle"
 
     if strategy == "broadcast":
-        dim = right.to_pandas()
-        # align right key names to left's so the merge is a plain `on=`
+        import ray as _ray
+
+        all_blocks = [_ray.get(r) for r in right.to_arrow_refs()]
+        nonempty = [t for t in all_blocks if t.num_rows]
+        if nonempty:
+            dim_t = pa.concat_tables(nonempty, promote_options="default")
+        else:
+            # 0-row right side: keep a SCHEMA-FUL empty dim so a left
+            # join still emits the right columns as nulls (block schema
+            # first, dataset schema as fallback — rayutil note)
+            schemaful = [t for t in all_blocks if t.schema.names]
+            if schemaful:
+                dim_t = schemaful[0].schema.empty_table()
+            else:
+                sch = right.schema(fetch_if_missing=False)
+                base = getattr(sch, "base_schema", None) if sch is not None else None
+                if not isinstance(base, pa.Schema):
+                    raise ValueError(
+                        "smart_join: right side is empty and schema-less; "
+                        "cannot derive the joined schema"
+                    )
+                dim_t = base.empty_table()
+        # align right key names to left's so the join is a plain `keys=`
         ren = {r: l for l, r in zip(left_keys, right_keys) if r != l}
         if ren:
-            dim = dim.rename(columns=ren)
-        # SQL equality never matches NULL = NULL; pandas merge does —
-        # drop null-key dim rows so both strategies agree
-        dim = dim.dropna(subset=left_keys)
-        prepared: dict[tuple, pd.DataFrame] = {}
+            dim_t = dim_t.rename_columns([ren.get(c, c) for c in dim_t.schema.names])
+        # SQL equality never matches NULL = NULL — drop null-key dim
+        # rows so both strategies agree (acero also never matches nulls;
+        # the filter just makes the contract explicit)
+        for k in left_keys:
+            dim_t = dim_t.filter(pc.is_valid(dim_t[k]))
+        join_type = "inner" if how == "inner" else "left outer"
 
-        def join_batch(b: pd.DataFrame) -> pd.DataFrame:
-            sig = tuple(b.columns)
-            if sig not in prepared:  # constant per schema; rename once per actor
-                overlap = (set(sig) & set(dim.columns)) - set(left_keys)
-                prepared[sig] = dim.rename(columns={c: c + suffix for c in overlap})
-            d = prepared[sig]
+        def join_batch(b: pa.Table) -> pa.Table:
             # shuffle-plan parity: Ray's hash join emits left cols +
-            # right NON-KEY cols (right_on keys dropped) — same here,
-            # because the rename above already folded them into left's
-            return b.merge(d, on=left_keys, how=how)
+            # right NON-KEY cols (right_on keys dropped) — acero's join
+            # does the same once the key names are aligned; overlapping
+            # non-key right cols get the suffix.  Zero-copy-in Arrow
+            # join per batch (the old pandas merge paid
+            # Arrow→pandas→Arrow per batch).
+            return b.join(
+                dim_t,
+                keys=left_keys,
+                join_type=join_type,
+                right_suffix=suffix,
+            )
 
-        return left.map_batches(join_batch, batch_format="pandas")
+        return left.map_batches(join_batch, batch_format="pyarrow")
 
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
