@@ -25,7 +25,14 @@ def _driver_merge(part: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
     (and to the min-id SQL oracle) only because both funnel through this
     single implementation."""
     if part.empty:
-        # an empty Dataset→pandas round trip can drop the columns too
+        if {"query_idx", id_col, "cosine"}.issubset(part.columns):
+            out0 = part.copy()
+            out0["rank"] = pd.Series(dtype="int64")
+            return out0
+        # an empty Dataset→pandas round trip can drop the columns too —
+        # synthesize the contract columns (int64 id is the common case;
+        # a string-id caller concatenating empties should pass through
+        # the columns-preserving branch above)
         return pd.DataFrame(
             {"query_idx": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
              "cosine": pd.Series(dtype="float64"), "rank": pd.Series(dtype="int64")}
@@ -268,31 +275,38 @@ def ivf_search_index(path: str, query_vecs: np.ndarray, k: int = 10,
     corpus never leaves disk).  Funnels through the same probe kernel as
     ``ivf_topk``, so ``nprobe == n_centroids`` is exact-equal to brute
     force."""
-    import os
-
     import ray.data as rd
+    from pyarrow import fs as pafs
 
     centroids = load_centroids(path)
     q = _normalize(np.asarray(query_vecs, dtype=dtype))
     nprobe = min(nprobe, len(centroids))
     probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted(set(probe_cells.flatten().tolist()))
-    import glob
-
     # Ray 2.49 read_parquet takes a LIST of files, not directories —
-    # expand each probed cell dir (same pattern as kgforge.run stage 2)
-    dirs = [
-        f
-        for c in wanted
-        if os.path.isdir(d := f"{path}/cells/ivf_cell={c}")
-        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
-    ]
-    if not dirs:
+    # expand each probed cell dir through pyarrow.fs so remote URIs
+    # (s3://…) list correctly too (os.path.isdir is always False there,
+    # which would silently return 0 matches)
+    if "://" in path:
+        filesystem, root = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, root = pafs.LocalFileSystem(), path
+    files: list[str] = []
+    for c in wanted:
+        sel = pafs.FileSelector(f"{root}/cells/ivf_cell={c}", allow_not_found=True)
+        files.extend(
+            sorted(
+                fi.path
+                for fi in filesystem.get_file_info(sel)
+                if fi.is_file and fi.path.endswith(".parquet")
+            )
+        )
+    if not files:
         return pd.DataFrame(
             {"query_idx": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
              "cosine": pd.Series(dtype=np.dtype(dtype)), "rank": pd.Series(dtype="int64")}
         )
-    ds = rd.read_parquet(dirs)
+    ds = rd.read_parquet(files, filesystem=filesystem if "://" in path else None)
     names = ds.schema().base_schema.names if ds.schema() else []
     if "ivf_cell" in names:
         # hive partition values deserialize as STRINGS — cast back
@@ -321,18 +335,24 @@ def ivf_recall_report(ds, query_vecs: np.ndarray, k: int = 10,
     one row per nprobe with mean recall and the fraction of cells
     probed.  The tuning artifact a 100 TB similarity-search deployment
     reads before picking nprobe (reported in BASELINE.md)."""
-    truth = brute_force_topk(ds, query_vecs, k, id_col, vec_col, dtype=np.float64)
+    # ONE execution of the upstream lineage: truth, quantizer training
+    # and every nprobe probe all read the materialized blocks
+    mat = ds.materialize()
+    truth = brute_force_topk(mat, query_vecs, k, id_col, vec_col, dtype=np.float64)
     truth_sets = {
         int(qi): set(g[id_col].tolist())
         for qi, g in truth.groupby("query_idx")
     }
-    centroids = train_centroids(ds, n_centroids, None if n_centroids is None else 5,
+    centroids = train_centroids(mat, n_centroids, None if n_centroids is None else 5,
                                 seed=seed, vec_col=vec_col, id_col=id_col)
-    mat = ds.materialize()
     rows = []
     for np_ in nprobes:
         np_eff = min(int(np_), len(centroids))
-        got = ivf_topk(mat, centroids, query_vecs, k, np_eff, id_col, vec_col)
+        # float64 on BOTH sides: a float32 probe can tie-break k-boundary
+        # cosines differently than the float64 truth and report <1.0
+        # recall even at nprobe = n_centroids
+        got = ivf_topk(mat, centroids, query_vecs, k, np_eff, id_col, vec_col,
+                       dtype=np.float64)
         recalls = []
         for qi, want in truth_sets.items():
             have = set(got.loc[got["query_idx"] == qi, id_col].tolist())

@@ -137,6 +137,24 @@ def build_bloom(ds: Dataset, key_col: str, capacity: int, fpp: float = 0.01) -> 
     return BloomFilter(m, k, np.asarray(words, dtype=np.uint64))
 
 
+def bloom_hit_mask(words_ref, m: int, k: int, col) -> np.ndarray:
+    """Vectorized per-row membership mask for a broadcast Bloom filter
+    (words shipped once via ``ray.put``, rebuilt zero-copy per call).
+    Null keys NEVER match (SQL semi-join semantics) — the single probe
+    implementation every consumer shares, so the hash schedule cannot
+    drift between ``bloom_semi_filter`` and the dedup split filters."""
+    bf = BloomFilter(m, k, ray.get(words_ref))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    null_mask = np.asarray(col.is_null()) if col.null_count else None
+    if null_mask is not None:
+        col = col.fill_null(0 if pa.types.is_integer(col.type) else "")
+    mask = bf.contains_hashes(sample_hash_u64(col, _SEED))
+    if null_mask is not None:
+        mask &= ~null_mask
+    return mask
+
+
 def bloom_semi_filter(
     probe: Dataset, key_col: str, bloom: BloomFilter
 ) -> Dataset:
@@ -148,18 +166,6 @@ def bloom_semi_filter(
     m, k = bloom.m, bloom.k
 
     def keep(t: pa.Table) -> pa.Table:
-        bf = BloomFilter(m, k, ray.get(words_ref))
-        col = t[key_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        # null keys never match a semi join: hash a placeholder, mask after
-        null_mask = np.asarray(col.is_null()) if col.null_count else None
-        if null_mask is not None:
-            col = col.fill_null(0 if pa.types.is_integer(col.type) else "")
-        h = sample_hash_u64(col, _SEED)
-        mask = bf.contains_hashes(h)
-        if null_mask is not None:
-            mask &= ~null_mask
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(bloom_hit_mask(words_ref, m, k, t[key_col])))
 
     return probe.map_batches(keep, batch_format="pyarrow")

@@ -479,7 +479,7 @@ def _paragraph_dedup_distributed(
     only the affected docs join their drop list for the local rebuild —
     the winner map never lands on the driver."""
     from .analytic import ListAgg
-    from .bloom import bloom_semi_filter, build_bloom
+    from .bloom import build_bloom
     from .rayutil import drop_empty_blocks
 
     cand = ds.map_batches(cand_rows, batch_format="pyarrow").materialize()
@@ -576,14 +576,9 @@ def _paragraph_dedup_distributed(
     m, k = bf.m, bf.k
 
     def _hit_mask(t: pa.Table) -> np.ndarray:
-        from .bloom import _SEED, BloomFilter
-        from .relops import sample_hash_u64
+        from .bloom import bloom_hit_mask
 
-        col = t[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        f = BloomFilter(m, k, ray.get(words_ref))
-        return f.contains_hashes(sample_hash_u64(col, _SEED))
+        return bloom_hit_mask(words_ref, m, k, t[id_col])
 
     clean = ds.map_batches(
         lambda t: passthrough(t.filter(pa.array(~_hit_mask(t)))),
@@ -606,6 +601,9 @@ def _paragraph_dedup_distributed(
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        ttype = texts.type  # preserve string vs large_string: the clean
+        # (passthrough) branch keeps the input type, and a mixed
+        # clean.union(rebuilt) schema breaks downstream writes
         texts = pc.fill_null(texts, "").to_pylist()
         blobs = t["__drop_blob"].to_pylist()
         out_texts: list[str] = []
@@ -622,7 +620,7 @@ def _paragraph_dedup_distributed(
         return pa.table(
             {
                 id_col: t[id_col],
-                text_col: pa.array(out_texts, pa.string()),
+                text_col: pa.array(out_texts, ttype),
                 "n_dropped_paragraphs": pa.array(out_drops, pa.int64()),
             }
         )
@@ -777,7 +775,10 @@ def paragraph_dedup(
         return pa.table(
             {
                 id_col: t[id_col],
-                text_col: pa.array([sep.join(ps) for ps in kept_per_row], pa.string()),
+                # texts.type, not pa.string(): batches with no duplicate
+                # pass through with the INPUT type (string vs
+                # large_string), and mixed block schemas break writes
+                text_col: pa.array([sep.join(ps) for ps in kept_per_row], texts.type),
                 "n_dropped_paragraphs": pa.array(drops, pa.int64()),
             }
         )
@@ -1130,17 +1131,9 @@ def incremental_dedup_filter(
         m, k = bf.m, bf.k
 
         def miss_rows(t: pa.Table) -> pa.Table:
-            from .bloom import BloomFilter
+            from .bloom import bloom_hit_mask
 
-            f = BloomFilter(m, k, ray.get(words_ref))
-            col = t["__h1"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            from .relops import sample_hash_u64
-
-            from .bloom import _SEED
-
-            hit = f.contains_hashes(sample_hash_u64(col, _SEED))
+            hit = bloom_hit_mask(words_ref, m, k, t["__h1"])
             return t.filter(pa.array(~hit)).drop_columns(["__h1", "__h2"])
 
         clean = hashed.map_batches(miss_rows, batch_format="pyarrow")

@@ -530,19 +530,14 @@ def neardup_drop_set(
 ) -> set[str]:
     """Set-valued convenience form of ``neardup_drop_ds`` — ONLY for
     corpora whose drop side fits on the driver (tests, small shards).
-    Pipelines use ``neardup_drop_ds`` + ``apply_drop_ds``."""
-    import os
-
-    band_ds = minhash_band_ds(docs_ds)
-    if force_path != "driver":
-        limit = int(os.environ.get("KGFORGE_NEARDUP_DIST_ROWS", NEARDUP_DISTRIBUTED_ROWS))
-        if force_path == "distributed" or band_ds.count() > limit:
-            drop_ds = _drop_ds_distributed(band_ds, docs_ds, threshold)
-            drop: set[str] = set()
-            for b in drop_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-                drop.update(b["url_norm"].to_pylist())
-            return drop
-    return _drop_set_driver(band_ds, docs_ds, threshold)
+    Pipelines use ``neardup_drop_ds`` + ``apply_drop_ds``.  Plan
+    selection lives in ONE place (``neardup_drop_ds``); this just
+    collects its one-column result."""
+    drop_ds = neardup_drop_ds(docs_ds, force_path, threshold)
+    drop: set[str] = set()
+    for b in drop_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        drop.update(b["url_norm"].to_pylist())
+    return drop
 
 
 #: at or below this many drop keys ``apply_drop_ds`` gathers them into
@@ -592,7 +587,7 @@ def apply_drop_ds(
 
     import ray
 
-    from ..bloom import BloomFilter, build_bloom
+    from ..bloom import build_bloom
     from ..rayutil import drop_empty_blocks
 
     src_key = drop_key or key_col
@@ -625,21 +620,19 @@ def apply_drop_ds(
     # upstream lineage doesn't execute twice; blocks spill as needed
     docs_ds = docs_ds.materialize()
 
-    def _mask(t: pa.Table) -> pa.Array:
-        from ..relops import sample_hash_u64
+    def _mask(t: pa.Table) -> np.ndarray:
+        from ..bloom import bloom_hit_mask
 
-        from ..bloom import _SEED
-
-        col = t[key_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        f = BloomFilter(m, k, ray.get(words_ref))
-        return pa.array(f.contains_hashes(sample_hash_u64(col, _SEED)))
+        # null-never-matches: a null-key doc can't be in the drop side,
+        # so it goes straight to `clean` instead of through the join
+        return bloom_hit_mask(words_ref, m, k, t[key_col])
 
     clean = docs_ds.map_batches(
-        lambda t: t.filter(pc.invert(_mask(t))), batch_format="pyarrow"
+        lambda t: t.filter(pa.array(~_mask(t))), batch_format="pyarrow"
     )
-    maybe = docs_ds.map_batches(lambda t: t.filter(_mask(t)), batch_format="pyarrow")
+    maybe = docs_ds.map_batches(
+        lambda t: t.filter(pa.array(_mask(t))), batch_format="pyarrow"
+    )
     marked = drop_ds.map_batches(
         lambda t: pa.table(
             {

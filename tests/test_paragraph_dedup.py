@@ -187,3 +187,20 @@ def test_distributed_winners_dup_heavy_corpus(ray_session):
     pd.testing.assert_frame_equal(
         para, _oracle(want).sort_values("doc_id", ignore_index=True)
     )
+
+
+def test_paragraph_dedup_preserves_large_string_type(ray_session):
+    """large_string text columns must come back large_string from BOTH
+    strategies (mixed string/large_string block schemas break writes)."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["a\n\nSHARED\n\nb", "c\n\nSHARED\n\nd"], pa.large_string()
+            ),
+        }
+    )
+    for strat in ("driver", "distributed"):
+        out = paragraph_dedup(rd.from_arrow(docs), strategy=strat)
+        sch = out.materialize().schema().base_schema
+        assert sch.field("text").type == pa.large_string(), strat
