@@ -74,6 +74,45 @@ def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+#: above this many gathered partial rows the driver combine bails out
+#: and the caller runs the distributed groupby instead
+PARTIAL_COMBINE_CAP = 1_000_000
+
+
+def _combine_partials(
+    partials,
+    keys: list[str],
+    sums: dict[str, str],
+    int_cols: tuple[str, ...] = (),
+    cap: int = PARTIAL_COMBINE_CAP,
+) -> pd.DataFrame | None:
+    """Final combine of per-batch partial-aggregate rows: partial rows
+    number (blocks × groups-per-block), so for small group counts one
+    driver pandas groupby replaces Ray's Aggregate shuffle and its
+    ~1.5-2 s fixed cost at this scale — the same gated driver-combine
+    pattern ``steps/materialize.py`` uses for the flagship.  Returns
+    ``None`` once more than ``cap`` rows have been gathered; the caller
+    then runs the distributed groupby (which re-executes the lazy
+    partials — the fallback's documented price).  ``sums`` maps partial
+    column → output name; ``int_cols`` pins SQL COUNT outputs to int64."""
+    batches = []
+    n = 0
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+        if n > cap:
+            return None
+        if b.num_rows:
+            batches.append(b)
+    if not batches:
+        return pd.DataFrame(columns=keys + list(sums.values()))
+    df = pa.concat_tables(batches, promote_options="default").to_pandas()
+    g = df.groupby(keys, as_index=False, dropna=False)[list(sums)].sum()
+    g = g.rename(columns=sums)
+    for c in int_cols:
+        g[c] = g[c].astype("int64")
+    return g[keys + list(sums.values())]
+
+
 # ---------------------------------------------------------------------------
 # aggregations (E5/E7)
 # ---------------------------------------------------------------------------
@@ -120,16 +159,20 @@ def q1_pricing_summary(sf_dir: str):
             ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
         )
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("p_qty", alias_name="sum_qty"),
-        Sum("p_base", alias_name="sum_base_price"),
-        Sum("p_disc", alias_name="sum_disc_price"),
-        Sum("p_n", alias_name="count_order"),
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {"p_qty": "sum_qty", "p_base": "sum_base_price",
+            "p_disc": "sum_disc_price", "p_n": "count_order"}
+    got = _combine_partials(partials, keys, sums, int_cols=("count_order",))
+    if got is None:  # > cap partial rows: distributed final combine
+        got = partials.groupby(keys).aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
+        ).to_pandas()
     return _round_cols(
-        out.to_pandas(), {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2}
+        got, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2}
     )
 
 
@@ -236,12 +279,17 @@ def q_lineitem_orders_join(sf_dir: str):
             ["o_orderstatus", "l_returnflag", "p_n", "p_qty"]
         )
 
-    out = j.map_batches(partial, batch_format="pyarrow").groupby(
-        ["o_orderstatus", "l_returnflag"]
-    ).aggregate(
-        Sum("p_n", alias_name="n_items"), Sum("p_qty", alias_name="total_qty")
+    partials = j.map_batches(partial, batch_format="pyarrow")
+    keys = ["o_orderstatus", "l_returnflag"]
+    got = _combine_partials(
+        partials, keys, {"p_n": "n_items", "p_qty": "total_qty"},
+        int_cols=("n_items",),
     )
-    return _round_cols(out.to_pandas(), {"total_qty": 2})
+    if got is None:
+        got = partials.groupby(keys).aggregate(
+            Sum("p_n", alias_name="n_items"), Sum("p_qty", alias_name="total_qty")
+        ).to_pandas()
+    return _round_cols(got, {"total_qty": 2})
 
 
 @query(
@@ -308,12 +356,16 @@ def q_revenue_by_segment(sf_dir: str):
         g = g.select(["c_mktsegment", "count_all", "revenue_raw_sum"])
         return g.rename_columns(["c_mktsegment", "p_n", "p_rev"])
 
-    out = j.map_batches(partial, batch_format="pyarrow").groupby(
-        "c_mktsegment"
-    ).aggregate(
-        Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="revenue")
+    partials = j.map_batches(partial, batch_format="pyarrow")
+    got = _combine_partials(
+        partials, ["c_mktsegment"], {"p_n": "n_items", "p_rev": "revenue"},
+        int_cols=("n_items",),
     )
-    return _round_cols(out.to_pandas(), {"revenue": 2})
+    if got is None:
+        got = partials.groupby("c_mktsegment").aggregate(
+            Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="revenue")
+        ).to_pandas()
+    return _round_cols(got, {"revenue": 2})
 
 
 @query(
