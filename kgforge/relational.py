@@ -607,20 +607,33 @@ def q_union_all_names(sf_dir: str):
 )
 def q_events_hourly(sf_dir: str):
     ds = read(sf_dir, "events", ["ts", "event_type", "value"])
-    ds = ds.map_batches(
-        lambda t: pa.table(
+    # E7 partials: per-batch (hour, type) rollup — a few thousand rows
+    # per batch instead of every event — then the gated driver combine
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "window_start": pc.floor_temporal(t["ts"], unit="hour"),
                 "event_type": t["event_type"],
                 "value": t["value"],
             }
-        ),
-        batch_format="pyarrow",
+        )
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        g = g.select(["window_start", "event_type", "count_all", "value_sum"])
+        return g.rename_columns(["window_start", "event_type", "p_n", "p_val"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    keys = ["window_start", "event_type"]
+    got = _combine_partials(
+        partials, keys, {"p_n": "n_events", "p_val": "total_value"},
+        int_cols=("n_events",),
     )
-    out = ds.groupby(["window_start", "event_type"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
-    )
-    return _round_cols(out.to_pandas(), {"total_value": 2})
+    if got is None:
+        got = partials.groupby(keys).aggregate(
+            Sum("p_n", alias_name="n_events"), Sum("p_val", alias_name="total_value")
+        ).to_pandas()
+    return _round_cols(got, {"total_value": 2})
 
 
 @query(
