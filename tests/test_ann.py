@@ -114,3 +114,31 @@ def test_train_centroids_sqrt_sizing(emb_ds):
     cent = train_centroids(emb_ds, n_centroids=None)
     n = emb_ds.count()
     assert len(cent) == max(16, int(round(np.sqrt(n))))
+
+
+def test_ann_cli_build_search_recall(tmp_path):
+    """End-to-end CLI: build a persisted index, search it, print the
+    recall table (subprocess — owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    idx = str(tmp_path / "idx")
+    out = subprocess.run(
+        [sys.executable, "-m", "kgforge.ann_cli", "build",
+         "--input", f"{SF}/embeddings.parquet", "--out", idx,
+         "--n-centroids", "8"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_centroids"] == 8 and info["rows"] > 0
+    res = str(tmp_path / "res.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "kgforge.ann_cli", "search",
+         "--index", idx, "--queries", f"{SF}/embeddings.parquet",
+         "--k", "5", "--nprobe", "8", "--limit", "2", "--out", res],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    got = pq.read_table(res)
+    assert got.num_rows == 10  # 2 queries x k=5 (nprobe=all: exact)
+    assert set(got.schema.names) == {"query_idx", "vec_id", "cosine", "rank"}
