@@ -482,7 +482,10 @@ def _paragraph_dedup_distributed(
     from .bloom import build_bloom
     from .rayutil import drop_empty_blocks
 
-    cand = ds.map_batches(cand_rows, batch_format="pyarrow").materialize()
+    # drop_empty_blocks: a 0-row input block skips cand_rows and would
+    # reach the winners join still carrying the DOC schema (no __h1) —
+    # the acero "No match for key field reference" landmine
+    cand = drop_empty_blocks(ds.map_batches(cand_rows, batch_format="pyarrow"))
 
     def pick(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -584,9 +587,12 @@ def _paragraph_dedup_distributed(
         lambda t: passthrough(t.filter(pa.array(~_hit_mask(t)))),
         batch_format="pyarrow",
     )
-    maybe = ds.map_batches(
-        lambda t: t.select([id_col, text_col]).filter(pa.array(_hit_mask(t))),
-        batch_format="pyarrow",
+    # drop_empty_blocks: same join-left landmine as `cand` above
+    maybe = drop_empty_blocks(
+        ds.map_batches(
+            lambda t: t.select([id_col, text_col]).filter(pa.array(_hit_mask(t))),
+            batch_format="pyarrow",
+        )
     )
     mj = maybe.join(
         drops_agg,
@@ -842,9 +848,17 @@ def _exact_filter_distributed(
         lambda t: t.filter(pc.invert(t["__cand"])).drop_columns(helper),
         batch_format="pyarrow",
     )
-    maybe = aug.map_batches(
-        lambda t: t.filter(t["__cand"]).drop_columns(["__cand"]),
-        batch_format="pyarrow",
+    # drop_empty_blocks BEFORE the join: map_batches never maps 0-row
+    # blocks, so an empty input block reaches the join still carrying
+    # the PRE-tag schema (no __h1/__h2) and acero fails with "No match
+    # for key field reference __h1" (rayutil note; layout-dependent —
+    # this was a run-to-run flake until forced by an all-distributed
+    # curation run)
+    maybe = drop_empty_blocks(
+        aug.map_batches(
+            lambda t: t.filter(t["__cand"]).drop_columns(["__cand"]),
+            batch_format="pyarrow",
+        )
     )
     j = maybe.join(
         winners,
@@ -1065,8 +1079,11 @@ def incremental_dedup_filter(
             "__h2", pa.array(h2, pa.int64())
         )
 
-    hashed = new_ds.map_batches(add_h, batch_format="pyarrow").materialize()
-    candidates = bloom_semi_filter(hashed, "__h1", bf).materialize()
+    # drop_empty_blocks on hashed: a 0-row input block skips add_h and
+    # would reach the candidates join without __h1/__h2 (acero "No match
+    # for key field reference" — rayutil note)
+    hashed = drop_empty_blocks(new_ds.map_batches(add_h, batch_format="pyarrow"))
+    candidates = drop_empty_blocks(bloom_semi_filter(hashed, "__h1", bf))
     n_cand = candidates.count()
     if n_cand == 0:
         return hashed.map_batches(

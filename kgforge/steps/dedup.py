@@ -413,7 +413,10 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
     docs_cand = bloom_semi_filter(
         docs_ds.select_columns(["url_norm", "extracted_text"]), "url_norm", bf
     )
-    packed = docs_cand.map_batches(pack, batch_format="pyarrow")
+    # drop_empty_blocks: stale-schema 0-row blocks on a join side are
+    # the acero key-reference landmine; the materialize this implies is
+    # candidates-sized (post bloom filter), not corpus-sized
+    packed = drop_empty_blocks(docs_cand.map_batches(pack, batch_format="pyarrow"))
     j = ex.join(packed, join_type="inner", num_partitions=8, on=("url_norm",))
 
     def verify_group(g: pa.Table) -> pa.Table:
@@ -467,12 +470,20 @@ def _drop_ds_distributed(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD):
     if edges.count() == 0:
         return rd.from_arrow(_DROP_SCHEMA.empty_table())
     labels = cc_label_propagation(edges)
-    return labels.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["node"], t["label"])))
-        .select(["node"])
-        .rename_columns(["url_norm"]),
-        batch_format="pyarrow",
-    ).materialize()
+    from ..rayutil import drop_empty_blocks
+
+    # drop_empty_blocks (not bare materialize): 0-row label blocks skip
+    # the rename map and would surface with the (node, label) schema —
+    # downstream joins on url_norm then hit the acero key-reference
+    # landmine
+    return drop_empty_blocks(
+        labels.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["node"], t["label"])))
+            .select(["node"])
+            .rename_columns(["url_norm"]),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def _drop_set_driver(band_ds, docs_ds, threshold: float = NEARDUP_JACCARD) -> set[str]:
@@ -630,17 +641,27 @@ def apply_drop_ds(
     clean = docs_ds.map_batches(
         lambda t: t.filter(pa.array(~_mask(t))), batch_format="pyarrow"
     )
-    maybe = docs_ds.map_batches(
-        lambda t: t.filter(pa.array(_mask(t))), batch_format="pyarrow"
+    # drop_empty_blocks: a 0-row doc block skips every upstream
+    # map_batches, so it can reach the join below with a schema that
+    # predates a caller-appended key column (curation's __nd_key) —
+    # the acero "No match for key field reference" landmine
+    maybe = drop_empty_blocks(
+        docs_ds.map_batches(
+            lambda t: t.filter(pa.array(_mask(t))), batch_format="pyarrow"
+        )
     )
-    marked = drop_ds.map_batches(
-        lambda t: pa.table(
-            {
-                key_col: t[key_col],
-                "__drop": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
-            }
-        ),
-        batch_format="pyarrow",
+    # drop_empty_blocks: 0-row drop blocks skip the marker map and reach
+    # the join's RIGHT side without __drop / under a stale key name
+    marked = drop_empty_blocks(
+        drop_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t[key_col],
+                    "__drop": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
     j = maybe.join(
         marked,

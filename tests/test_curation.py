@@ -231,3 +231,46 @@ def test_curate_cli_empty_shard_index_still_readable(ray_session, tmp_path):
     assert idx2.count() == 0 and set(idx2.schema().names) == {"h1", "h2"}
     docs2 = rdm.read_parquet(str(out2 / "docs"))
     assert docs2.count() == 0
+
+
+def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatch):
+    """The 100-TB configuration end to end: EVERY auto-switching stage
+    forced onto its distributed plan via the env thresholds (content
+    dedup winners, near-dup pairing+labels, drop application,
+    incremental verify) — output must equal the default driver-plan
+    composition row for row."""
+    monkeypatch.setenv("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "0")
+    monkeypatch.setenv("KGFORGE_NEARDUP_DIST_ROWS", "0")
+    monkeypatch.setenv("KGFORGE_DROP_APPLY_BROADCAST_ROWS", "0")
+    monkeypatch.setenv("KGFORGE_INC_DEDUP_DIST_ROWS", "0")
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    from kgforge.dedup_ops import content_hashes
+
+    known = content_hashes(
+        rd.from_arrow(
+            pa.table({"doc_id": pa.array([900], pa.int64()),
+                      "text": pa.array([_en_body(0)], pa.string())})
+        )
+    ).materialize()
+    dist = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True
+    )
+    for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
+                "KGFORGE_DROP_APPLY_BROADCAST_ROWS", "KGFORGE_INC_DEDUP_DIST_ROWS"):
+        monkeypatch.delenv(var)
+    base = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True
+    )
+    a = dist.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    b = base.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["text"].tolist() == b["text"].tolist()
+    assert (
+        a["n_dropped_paragraphs"].tolist() == b["n_dropped_paragraphs"].tolist()
+    )
+    assert dist.stats["after_neardup"] == base.stats["after_neardup"]
+    # packing is BATCH-LOCAL by design (documented trade): the two plans
+    # leave different block layouts, so sequence counts may differ —
+    # only the schema contract is layout-independent
+    assert dist.packed.schema().base_schema.names == ["seq", "n_tokens"]
