@@ -85,6 +85,7 @@ def _combine_partials(
     sums: dict[str, str],
     int_cols: tuple[str, ...] = (),
     cap: int = PARTIAL_COMBINE_CAP,
+    how: dict[str, str] | None = None,
 ) -> pd.DataFrame | None:
     """Final combine of per-batch partial-aggregate rows: partial rows
     number (blocks × groups-per-block), so for small group counts one
@@ -94,7 +95,9 @@ def _combine_partials(
     ``None`` once more than ``cap`` rows have been gathered; the caller
     then runs the distributed groupby (which re-executes the lazy
     partials — the fallback's documented price).  ``sums`` maps partial
-    column → output name; ``int_cols`` pins SQL COUNT outputs to int64."""
+    column → output name; ``int_cols`` pins SQL COUNT outputs to int64;
+    ``how`` overrides the per-column combine op (default ``sum`` — use
+    ``min``/``max`` for the re-aggregable partials of those fns)."""
     batches = []
     n = 0
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -106,7 +109,8 @@ def _combine_partials(
     if not batches:
         return pd.DataFrame(columns=keys + list(sums.values()))
     df = pa.concat_tables(batches, promote_options="default").to_pandas()
-    g = df.groupby(keys, as_index=False, dropna=False)[list(sums)].sum()
+    ops = {c: (how or {}).get(c, "sum") for c in sums}
+    g = df.groupby(keys, as_index=False, dropna=False).agg(ops)
     g = g.rename(columns=sums)
     for c in int_cols:
         g[c] = g[c].astype("int64")
@@ -304,14 +308,16 @@ def q_lineitem_orders_join(sf_dir: str):
     """,
 )
 def q_revenue_by_segment(sf_dir: str):
-    # dimension side (customer) broadcast into orders, then big-big join
+    # BOTH small sides (orders 2-col projection + customer dim) resolve
+    # to one broadcast table with a single driver-side acero join — no
+    # Ray pipeline runs serially ahead of the lineitem stream.  At bench
+    # scale orders is ≪ the broadcast threshold; the at-scale answer is
+    # the shuffle plan / smart_join (q_lineitem_orders_join note).
     cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    od = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    od = od.map_batches(
-        lambda t: t.join(
-            cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner"
-        ).select(["o_orderkey", "c_mktsegment"]),
-        batch_format="pyarrow",
+    od_tbl = (
+        read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner")
+        .select(["o_orderkey", "c_mktsegment"])
     )
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(
@@ -325,24 +331,10 @@ def q_revenue_by_segment(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    # broadcast the (already dimension-joined) orders side once — see
-    # the q_lineitem_orders_join note; od is Dataset-shaped here, so
-    # fetch its blocks to one Arrow table (ONE execution of its lineage;
-    # bench scale ≪ the broadcast threshold)
-    import ray as _ray
-
-    od_blocks = [
-        t for t in (_ray.get(r) for r in od.to_arrow_refs()) if t.num_rows
-    ]
-    od_tbl = (
-        pa.concat_tables(od_blocks, promote_options="default") if od_blocks else None
-    )
     j = li.map_batches(
         lambda t: t.join(
             od_tbl, keys=["l_orderkey"], right_keys=["o_orderkey"], join_type="inner"
-        )
-        if od_tbl is not None
-        else t.slice(0, 0).append_column("c_mktsegment", pa.array([], pa.string())),
+        ),
         batch_format="pyarrow",
     )
 
@@ -956,16 +948,33 @@ def q_doc_exact_dedup_sha(sf_dir: str):
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_sha(t: pa.Table) -> pa.Table:
+    def sha_partial(t: pa.Table) -> pa.Table:
         shas = [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "text_sha": pa.array(shas, pa.string())})
+        # per-batch (min id, count) partial per digest — the combine is
+        # re-aggregable (min of mins, sum of counts)
+        g = (
+            pa.table({"doc_id": t["doc_id"], "text_sha": pa.array(shas, pa.string())})
+            .group_by("text_sha")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+        )
+        g = g.select(["text_sha", "doc_id_min", "count_all"])
+        return g.rename_columns(["text_sha", "p_min", "p_n"])
 
-    return (
-        ds.map_batches(add_sha, batch_format="pyarrow")
-        .groupby("text_sha")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
-        .to_pandas()
+    partials = ds.map_batches(sha_partial, batch_format="pyarrow")
+    got = _combine_partials(
+        partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
+        int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},
     )
+    if got is None:
+        got = (
+            partials.groupby("text_sha")
+            .aggregate(
+                Min("p_min", alias_name="keeper_doc_id"),
+                Sum("p_n", alias_name="n_copies"),
+            )
+            .to_pandas()
+        )
+    return got
 
 
 @query(
