@@ -78,7 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--k", type=int, default=10)
     r.add_argument("--nprobes", default="1,2,4,8")
     r.add_argument("--n-centroids", type=int, default=0)
-    r.add_argument("--limit", type=int, default=10)
+    r.add_argument(
+        "--limit", type=int, default=10,
+        help="measure recall over the FIRST N query rows (default 10 — each "
+             "query costs one exact brute-force scan; raise deliberately)",
+    )
     r.add_argument("--id-col", default="vec_id")
     r.add_argument("--vec-col", default="embedding")
 
@@ -119,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # recall
     q = _query_matrix(args.queries, args.vec_col, args.limit)
+    print(f"# recall measured over {len(q)} queries (--limit)", file=sys.stderr)
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
     nprobes = tuple(int(x) for x in args.nprobes.split(","))
     rep = ivf_recall_report(

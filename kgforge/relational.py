@@ -107,6 +107,17 @@ def _combine_partials(
         if b.num_rows:
             batches.append(b)
     if not batches:
+        # keep the dtype contract of the non-empty path: derive typed
+        # empty columns from the partials schema (an all-object empty
+        # frame would fail the driver's strict dtype compare)
+        sch = partials.schema(fetch_if_missing=True)
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if isinstance(base, pa.Schema):
+            out = base.empty_table().to_pandas().rename(columns=sums)
+            out = out[keys + list(sums.values())]
+            for c in int_cols:
+                out[c] = out[c].astype("int64")
+            return out
         return pd.DataFrame(columns=keys + list(sums.values()))
     df = pa.concat_tables(batches, promote_options="default").to_pandas()
     ops = {c: (how or {}).get(c, "sum") for c in sums}
@@ -961,10 +972,16 @@ def q_doc_exact_dedup_sha(sf_dir: str):
         return g.rename_columns(["text_sha", "p_min", "p_n"])
 
     partials = ds.map_batches(sha_partial, batch_format="pyarrow")
-    got = _combine_partials(
-        partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
-        int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},
-    )
+    # high-cardinality key (one partial row per distinct text): pre-gate
+    # on the metadata-cheap input count so the driver probe never
+    # hashes >cap docs only to bail and re-execute distributed —
+    # partial rows can never exceed input rows
+    got = None
+    if ds.count() <= PARTIAL_COMBINE_CAP:
+        got = _combine_partials(
+            partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
+            int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},
+        )
     if got is None:
         got = (
             partials.groupby("text_sha")
