@@ -84,7 +84,7 @@ def _combine_partials(
     keys: list[str],
     sums: dict[str, str],
     int_cols: tuple[str, ...] = (),
-    cap: int = PARTIAL_COMBINE_CAP,
+    cap: int | None = None,
     how: dict[str, str] | None = None,
 ) -> pd.DataFrame | None:
     """Final combine of per-batch partial-aggregate rows: partial rows
@@ -97,7 +97,14 @@ def _combine_partials(
     partials — the fallback's documented price).  ``sums`` maps partial
     column → output name; ``int_cols`` pins SQL COUNT outputs to int64;
     ``how`` overrides the per-column combine op (default ``sum`` — use
-    ``min``/``max`` for the re-aggregable partials of those fns)."""
+    ``min``/``max`` for the re-aggregable partials of those fns).
+    ``cap`` defaults to KGFORGE_PARTIAL_COMBINE_CAP (env) /
+    PARTIAL_COMBINE_CAP — read at CALL time so tests and deployments can
+    force the distributed fallback."""
+    if cap is None:
+        import os
+
+        cap = int(os.environ.get("KGFORGE_PARTIAL_COMBINE_CAP", PARTIAL_COMBINE_CAP))
     batches = []
     n = 0
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -976,8 +983,11 @@ def q_doc_exact_dedup_sha(sf_dir: str):
     # on the metadata-cheap input count so the driver probe never
     # hashes >cap docs only to bail and re-execute distributed —
     # partial rows can never exceed input rows
+    import os
+
+    _cap = int(os.environ.get("KGFORGE_PARTIAL_COMBINE_CAP", PARTIAL_COMBINE_CAP))
     got = None
-    if ds.count() <= PARTIAL_COMBINE_CAP:
+    if ds.count() <= _cap:
         got = _combine_partials(
             partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
             int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},

@@ -91,3 +91,19 @@ def test_count_semantics_match_oracle_with_null_columns(tmp_path):
                             "q_revenue_by_segment", "q_topk_lineitems"])
     failures = {k: msg for k, (ok, msg) in res.items() if not ok}
     assert not failures, f"oracle mismatches with NULL columns: {failures}"
+
+
+def test_partial_combine_distributed_fallback_matches_oracle(ray_session, monkeypatch):
+    """KGFORGE_PARTIAL_COMBINE_CAP=0 forces every gated driver combine
+    onto its distributed-groupby fallback; the five converted queries
+    must stay oracle-identical (driver/distributed combine parity)."""
+    monkeypatch.setenv("KGFORGE_PARTIAL_COMBINE_CAP", "0")
+    from kgforge.selfcheck import run_all
+
+    res = run_all(
+        "/root/testdata/sf0.001",
+        ["q1_pricing_summary", "q_lineitem_orders_join", "q_revenue_by_segment",
+         "q_events_hourly", "q_doc_exact_dedup_sha"],
+    )
+    for name, (ok, msg) in res.items():
+        assert ok, f"{name}: {msg}"
