@@ -86,18 +86,9 @@ def _validate_specs(specs: Sequence[dict[str, Any]]) -> None:
 def _order_boundaries(g: pd.DataFrame, order_keys: list[str]) -> np.ndarray:
     """Boolean array: True where the ORDER BY key differs from the
     previous row (row 0 is always True).  NaN keys compare equal to NaN
-    (SQL peers), handled via pandas nullable-safe comparison."""
-    n = len(g)
-    new = np.ones(n, dtype=bool)
-    if n > 1:
-        same = np.ones(n - 1, dtype=bool)
-        for k in order_keys:
-            col = g[k]
-            eq = (col.values[1:] == col.values[:-1])
-            both_na = col.isna().values[1:] & col.isna().values[:-1]
-            same &= eq | both_na
-        new[1:] = ~same
-    return new
+    (SQL peers).  Delegates to ``_bound_mask`` — ONE implementation of
+    the NaN-peer boundary semantics for both window kernels."""
+    return _bound_mask(g, order_keys)
 
 
 def _apply_specs(
@@ -350,6 +341,11 @@ def window(
     if strategy == "auto":
         import os
 
+        # materialize before the size probe: count() executes a lazy
+        # lineage, and the chosen plan would re-execute it — exactly the
+        # multi-million-row inputs this gate exists for (smart_join's
+        # auto does the same)
+        ds = ds.materialize()
         limit = int(os.environ.get("KGFORGE_WINDOW_HASHED_ROWS", WINDOW_HASHED_ROWS))
         strategy = "hashed" if ds.count() > limit else "groups"
     if strategy == "hashed":

@@ -482,6 +482,10 @@ def _paragraph_dedup_distributed(
     from .bloom import build_bloom
     from .rayutil import drop_empty_blocks
 
+    # three consumers below (cand scan, clean branch, maybe branch) —
+    # materialize once so a LAZY caller's upstream lineage doesn't
+    # re-execute per consumer (same shape as _exact_filter_distributed)
+    ds = ds.materialize()
     # drop_empty_blocks: a 0-row input block skips cand_rows and would
     # reach the winners join still carrying the DOC schema (no __h1) —
     # the acero "No match for key field reference" landmine
@@ -1117,6 +1121,15 @@ def incremental_dedup_filter(
                 lambda t: t.select(["h1", "h2"]), batch_format="pyarrow"
             )
         )
+        if known_touch.count() == 0:
+            # every Bloom hit was a false positive (no index row touches
+            # a candidate h1): nothing can drop — and the inner join
+            # below would crash on the schema-less all-empty groupby
+            # output (Ray 2.49 loses the (h1, h2) schema when every
+            # block is 0 rows; drop_empty_blocks can't recover it)
+            return hashed.map_batches(
+                lambda t: t.drop_columns(["__h1", "__h2"]), batch_format="pyarrow"
+            )
         dup_keys_ds = drop_empty_blocks(
             cand_keys.join(
                 known_touch,

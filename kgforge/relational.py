@@ -68,6 +68,15 @@ def read_arrow(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.T
     return _strip_meta(pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns))
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FILE metadata — the genuinely
+    metadata-cheap size probe (no read pass) that gates driver-side
+    broadcasts and driver combines."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, nd in cols.items():
         df[c] = df[c].round(nd)
@@ -269,20 +278,35 @@ def q_distinct_part_types(sf_dir: str):
 )
 def q_lineitem_orders_join(sf_dir: str):
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
-    # orders is ≪ the broadcast threshold at bench scale: ship it once
+    # size-GUARDED driver broadcast: while orders fits the broadcast
+    # threshold (parquet-metadata row probe, no read pass), ship it once
     # (driver Arrow read, zero-copy per-batch acero join) so lineitem
     # never shuffles — saves Ray 2.49's ~2-4 s fixed hash-shuffle cost
     # (measured 3.8 s → 2.1 s at sf0.1/32 cpus).  Above the threshold
-    # the operator answer is relops.smart_join (auto broadcast↔shuffle);
-    # D3's driver proof stays on q_left_join_order_counts, which keeps
-    # the explicit hash join.
-    od_tbl = read_arrow(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    j = li.map_batches(
-        lambda t: t.join(
-            od_tbl, keys=["l_orderkey"], right_keys=["o_orderkey"], join_type="inner"
-        ),
-        batch_format="pyarrow",
+    # the shuffle plan runs instead; D3's driver proof stays on
+    # q_left_join_order_counts, which keeps the explicit hash join.
+    import os as _os
+
+    from .relops import BROADCAST_JOIN_ROWS
+
+    _bcast = parquet_rows(sf_dir, "orders") <= int(
+        _os.environ.get("KGFORGE_BROADCAST_JOIN_ROWS", BROADCAST_JOIN_ROWS)
     )
+    if _bcast:
+        od_tbl = read_arrow(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        j = li.map_batches(
+            lambda t: t.join(
+                od_tbl, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                join_type="inner",
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        od = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        j = li.join(
+            od, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     # E7 pattern post-join: the group keys have ~9 distinct values, so
     # collapse each joined batch to per-key partials before the final
@@ -326,17 +350,19 @@ def q_lineitem_orders_join(sf_dir: str):
     """,
 )
 def q_revenue_by_segment(sf_dir: str):
-    # BOTH small sides (orders 2-col projection + customer dim) resolve
-    # to one broadcast table with a single driver-side acero join — no
-    # Ray pipeline runs serially ahead of the lineitem stream.  At bench
-    # scale orders is ≪ the broadcast threshold; the at-scale answer is
-    # the shuffle plan / smart_join (q_lineitem_orders_join note).
-    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    od_tbl = (
-        read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        .join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner")
-        .select(["o_orderkey", "c_mktsegment"])
+    # size-GUARDED driver broadcast (q_lineitem_orders_join note): while
+    # orders fits the threshold, BOTH small sides (orders 2-col
+    # projection + customer dim) resolve to one broadcast table with a
+    # single driver-side acero join — no Ray pipeline runs serially
+    # ahead of the lineitem stream; above it, the shuffle plan runs.
+    import os as _os
+
+    from .relops import BROADCAST_JOIN_ROWS
+
+    _bcast = parquet_rows(sf_dir, "orders") <= int(
+        _os.environ.get("KGFORGE_BROADCAST_JOIN_ROWS", BROADCAST_JOIN_ROWS)
     )
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(
         lambda t: pa.table(
@@ -349,12 +375,33 @@ def q_revenue_by_segment(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = li.map_batches(
-        lambda t: t.join(
-            od_tbl, keys=["l_orderkey"], right_keys=["o_orderkey"], join_type="inner"
-        ),
-        batch_format="pyarrow",
-    )
+    if _bcast:
+        od_tbl = (
+            read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+            .join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner")
+            .select(["o_orderkey", "c_mktsegment"])
+        )
+        j = li.map_batches(
+            lambda t: t.join(
+                od_tbl, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                join_type="inner",
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        # shuffle plan: customer stays the broadcast dim (scales with
+        # nations×segments cardinality choices far below orders), the
+        # orders↔lineitem join shuffles
+        od = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            lambda t: t.join(
+                cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner"
+            ).select(["o_orderkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+        j = li.join(
+            od, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     # 5 market segments → per-batch partials so the post-join groupby
     # shuffles ≤5 rows per batch (E7 pattern, see q_lineitem_orders_join).
@@ -987,7 +1034,9 @@ def q_doc_exact_dedup_sha(sf_dir: str):
 
     _cap = int(os.environ.get("KGFORGE_PARTIAL_COMBINE_CAP", PARTIAL_COMBINE_CAP))
     got = None
-    if ds.count() <= _cap:
+    # parquet FILE metadata, not ds.count(): counting the mapped lineage
+    # would itself be a full read pass
+    if parquet_rows(sf_dir, "documents") <= _cap:
         got = _combine_partials(
             partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
             int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},

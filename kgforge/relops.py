@@ -348,7 +348,9 @@ def smart_join(
     if strategy == "broadcast":
         import ray as _ray
 
-        all_blocks = [_ray.get(r) for r in right.to_arrow_refs()]
+        # one batched get: sequential per-ref round trips serialize the
+        # fetch for a many-block right side
+        all_blocks = _ray.get(list(right.to_arrow_refs()))
         nonempty = [t for t in all_blocks if t.num_rows]
         if nonempty:
             dim_t = pa.concat_tables(nonempty, promote_options="default")

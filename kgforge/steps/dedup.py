@@ -558,17 +558,22 @@ def neardup_drop_set(
 DROP_APPLY_BROADCAST_ROWS = 2_000_000
 
 
-def apply_drop_set(docs_ds, drop: set[str], key_col: str = "url_norm"):
+def apply_drop_set(docs_ds, drop: set, key_col: str = "url_norm"):
     """Broadcast anti-join: filter out dropped keys inside map_batches
     (SURVEY §2.D4).  For drop sides that may not fit on the driver use
-    ``apply_drop_ds``."""
+    ``apply_drop_ds``.  Key type is INFERRED (int ids work, not just
+    strings) and cast to each batch's column type, so the broadcast
+    strategy accepts exactly the keys the join strategy does."""
     if not drop:
         return docs_ds
-    drop_arr = pa.array(sorted(drop), pa.string())
-    return docs_ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t[key_col], value_set=drop_arr))),
-        batch_format="pyarrow",
-    )
+    drop_arr = pa.array(sorted(drop))
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        vs = drop_arr if drop_arr.type == col.type else drop_arr.cast(col.type)
+        return t.filter(pc.invert(pc.is_in(col, value_set=vs)))
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
 def apply_drop_ds(

@@ -114,3 +114,22 @@ def test_apply_drop_ds_empty_and_renamed_key(docs):
         deduped, drop, key_col="url_norm", drop_key="key", strategy="distributed"
     )
     assert out.count() == deduped.count() - 2
+
+
+def test_apply_drop_set_integer_keys(docs):
+    """apply_drop_set infers the key type (int ids crashed on the
+    hard-coded pa.string() — review finding): broadcast and distributed
+    strategies accept the same keys."""
+    import pyarrow as pa
+
+    from kgforge.steps.dedup import apply_drop_ds, apply_drop_set
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "v": pa.array([str(i) for i in range(20)], pa.string())})
+    )
+    out = apply_drop_set(ds, {3, 7}, key_col="doc_id")
+    assert sorted(out.to_pandas()["doc_id"]) == [i for i in range(20) if i not in (3, 7)]
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array([3, 7], pa.int64())}))
+    got = apply_drop_ds(ds, drop, key_col="doc_id", strategy="broadcast")
+    assert sorted(got.to_pandas()["doc_id"]) == [i for i in range(20) if i not in (3, 7)]

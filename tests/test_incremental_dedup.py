@@ -81,3 +81,14 @@ def test_incremental_dedup_distributed_equals_driver(ray_session):
     allk = _docs(list(range(5000, 5050)), known_texts[:50]).repartition(4)
     out = incremental_dedup_filter(allk, known, strategy="distributed")
     assert out.count() == 0
+
+
+def test_incremental_dedup_distributed_all_bloom_false_positives(ray_session):
+    """Every Bloom hit a false positive (tiny index, terrible fpp): the
+    distributed plan's index-side groupby is all-empty and must short-
+    circuit instead of feeding a schema-less stream into the join
+    (review-verified crash)."""
+    known = content_hashes(_docs([1, 2, 3], ["ka", "kb", "kc"])).materialize()
+    new = _docs(list(range(100, 300)), [f"novel doc {i}" for i in range(200)]).repartition(4)
+    out = incremental_dedup_filter(new, known, fpp=0.4, strategy="distributed")
+    assert out.count() == 200  # nothing novel lost, no crash
