@@ -113,10 +113,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     warm.triples.count()
 
     # ---- headline: Parquet pages → flagship KG construction --------------
-    # best-of-N (default 2): this host shows ±30-40% hypervisor noise on
-    # identical code (BASELINE.md log); min wall is the standard
-    # noise-controlled throughput estimator
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    # best-of-N (default 3): this host shows ±30-40% hypervisor noise on
+    # identical code (BASELINE.md log; one r3 epoch ran everything 2-4×
+    # slower); min wall is the standard noise-controlled estimator
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     flagship_s = float("inf")
     n_triples = 0
     for _ in range(reps):
