@@ -133,3 +133,24 @@ def test_apply_drop_set_integer_keys(docs):
     drop = rd.from_arrow(pa.table({"doc_id": pa.array([3, 7], pa.int64())}))
     got = apply_drop_ds(ds, drop, key_col="doc_id", strategy="broadcast")
     assert sorted(got.to_pandas()["doc_id"]) == [i for i in range(20) if i not in (3, 7)]
+
+
+def test_flagship_forced_distributed_neardup_matches_default(docs, monkeypatch):
+    """run_flagship with the near-dup engine AND survivor application
+    forced distributed (the 100-TB configuration) must produce the
+    identical triple set."""
+    import ray
+
+    from kgforge.corpus import pages_table
+    from kgforge.pipelines.flagship import run_flagship
+
+    pages = rd.from_arrow(pages_table(500)).repartition(8)
+    base = run_flagship(pages).triples.to_pandas()
+    monkeypatch.setenv("KGFORGE_NEARDUP_DIST_ROWS", "0")
+    monkeypatch.setenv("KGFORGE_DROP_APPLY_BROADCAST_ROWS", "0")
+    dist = run_flagship(pages).triples.to_pandas()
+    cols = ["subj", "pred", "obj", "n_sources"]
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols, ignore_index=True),
+        dist[cols].sort_values(cols, ignore_index=True),
+    )
