@@ -206,6 +206,20 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             for r in rep.itertuples()
         }
 
+        # end-to-end LLM-data curation over the driver documents table
+        # (lang-ID → quality → exact dedup → near-dup → paragraph dedup
+        # → packing)
+        from kgforge.pipelines.curation import curate_corpus
+
+        docs_ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+        n_docs = docs_ds.count()
+        t0 = time.perf_counter()
+        cur = curate_corpus(docs_ds, min_quality=0.2, neardup_threshold=0.7)
+        cur_sec = time.perf_counter() - t0
+        extras["curation_sec"] = round(cur_sec, 3)
+        extras["curation_docs_per_sec"] = round(n_docs / cur_sec, 1)
+        extras["curation_kept_docs"] = cur.stats["after_neardup"]
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
