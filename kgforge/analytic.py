@@ -53,11 +53,15 @@ WINDOW_FNS: dict[str, bool] = {
     "lag": True,
     "lead": True,
     "first_value": True,
+    "last_value": True,   # FULL-partition frame (ROWS UNBOUNDED BOTH WAYS)
+    "nth_value": True,    # FULL-partition frame; 1-based 'n'
     "cumsum": True,
     "cummin": True,
     "cummax": True,
     "rolling_sum": True,
     "rolling_mean": True,
+    "rolling_min": True,
+    "rolling_max": True,
 }
 
 
@@ -77,9 +81,9 @@ def _validate_specs(specs: Sequence[dict[str, Any]]) -> None:
         seen.add(out)
         if WINDOW_FNS[fn] and not s.get("col"):
             raise ValueError(f"window fn {fn!r} needs a 'col'")
-        if fn == "ntile" and not s.get("n"):
-            raise ValueError("ntile needs 'n'")
-        if fn in ("rolling_sum", "rolling_mean") and not s.get("window"):
+        if fn in ("ntile", "nth_value") and int(s.get("n") or 0) < 1:
+            raise ValueError(f"{fn} needs 'n' >= 1")
+        if fn in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max") and not s.get("window"):
             raise ValueError(f"{fn} needs 'window'")
 
 
@@ -138,6 +142,14 @@ def _apply_specs(
             g[out] = g[s["col"]].shift(-int(s.get("offset", 1)))
         elif fn == "first_value":
             g[out] = g[s["col"]].iloc[0] if n else None
+        elif fn == "last_value":
+            # FULL-partition frame (SQL: ROWS BETWEEN UNBOUNDED PRECEDING
+            # AND UNBOUNDED FOLLOWING) — the default running frame would
+            # make last_value ≡ the current row
+            g[out] = g[s["col"]].iloc[-1] if n else None
+        elif fn == "nth_value":
+            k = int(s["n"])
+            g[out] = g[s["col"]].iloc[k - 1] if 1 <= k <= n else None
         elif fn == "cumsum":
             # SQL running sum SKIPS nulls (null only until the first
             # non-null); pandas cumsum would pin NaN at the null row
@@ -147,10 +159,9 @@ def _apply_specs(
             g[out] = g[s["col"]].cummin().ffill()
         elif fn == "cummax":
             g[out] = g[s["col"]].cummax().ffill()
-        elif fn == "rolling_sum":
-            g[out] = g[s["col"]].rolling(int(s["window"]), min_periods=1).sum()
-        elif fn == "rolling_mean":
-            g[out] = g[s["col"]].rolling(int(s["window"]), min_periods=1).mean()
+        elif fn in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max"):
+            r = g[s["col"]].rolling(int(s["window"]), min_periods=1)
+            g[out] = getattr(r, fn.split("_")[1])()
     return g
 
 
@@ -250,6 +261,13 @@ def _apply_specs_grouped(
             df[out] = shifted.where(pd.Series(valid))
         elif fn == "first_value":
             df[out] = df[s["col"]].values[grp_start]
+        elif fn == "last_value":
+            df[out] = df[s["col"]].values[grp_start + n_in - 1]
+        elif fn == "nth_value":
+            kk = int(s["n"])
+            idx = np.minimum(grp_start + kk - 1, n - 1)
+            picked = pd.Series(df[s["col"]].values[idx], index=df.index)
+            df[out] = picked.where(pd.Series(kk <= n_in, index=df.index))
         elif fn == "cumsum":
             vals = df[s["col"]]
             c = vals.fillna(0).groupby(gids).cumsum()
@@ -259,10 +277,10 @@ def _apply_specs_grouped(
             df[out] = df[s["col"]].groupby(gids).cummin().groupby(gids).ffill()
         elif fn == "cummax":
             df[out] = df[s["col"]].groupby(gids).cummax().groupby(gids).ffill()
-        elif fn in ("rolling_sum", "rolling_mean"):
+        elif fn in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max"):
             w = int(s["window"])
             r = df[s["col"]].groupby(gids).rolling(w, min_periods=1)
-            agg = r.sum() if fn == "rolling_sum" else r.mean()
+            agg = getattr(r, fn.split("_")[1])()
             df[out] = agg.reset_index(level=0, drop=True).sort_index()
     return df
 

@@ -624,6 +624,9 @@ def test_window_hashed_strategy_parity(ray_session):
         {"out": "lg", "fn": "lag", "col": "value"},
         {"out": "cs", "fn": "cumsum", "col": "value"},
         {"out": "rs3", "fn": "rolling_sum", "col": "value", "window": 3},
+        {"out": "lv", "fn": "last_value", "col": "value"},
+        {"out": "nv2", "fn": "nth_value", "col": "value", "n": 2},
+        {"out": "rmx", "fn": "rolling_max", "col": "value", "window": 4},
     ]
     a = window(ds, "user_id", "ts", specs, strategy="groups").to_pandas()
     b = window(ds, "user_id", "ts", specs, strategy="hashed", num_partitions=7).to_pandas()

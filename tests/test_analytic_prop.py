@@ -24,10 +24,14 @@ FULL_SPECS = [
     {"out": "lg", "fn": "lag", "col": "v"},
     {"out": "ld2", "fn": "lead", "col": "v", "offset": 2},
     {"out": "fv", "fn": "first_value", "col": "v"},
+    {"out": "lv", "fn": "last_value", "col": "v"},
+    {"out": "nv2", "fn": "nth_value", "col": "v", "n": 2},
     {"out": "cs", "fn": "cumsum", "col": "v"},
     {"out": "cmn", "fn": "cummin", "col": "v"},
     {"out": "cmx", "fn": "cummax", "col": "v"},
     {"out": "rs3", "fn": "rolling_sum", "col": "v", "window": 3},
+    {"out": "rmn3", "fn": "rolling_min", "col": "v", "window": 3},
+    {"out": "rmx3", "fn": "rolling_max", "col": "v", "window": 3},
 ]
 
 FULL_SQL = """
@@ -41,10 +45,14 @@ SELECT p, o, v,
        lag(v) OVER w AS lg,
        lead(v, 2) OVER w AS ld2,
        first_value(v) OVER w AS fv,
+       last_value(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+       nth_value(v, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv2,
        sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cs,
        min(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cmn,
        max(v) OVER (w ROWS UNBOUNDED PRECEDING) AS cmx,
-       sum(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rs3
+       sum(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rs3,
+       min(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rmn3,
+       max(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rmx3
 FROM t WINDOW w AS (PARTITION BY p ORDER BY o)
 """
 
