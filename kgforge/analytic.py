@@ -404,7 +404,7 @@ def window(
 # ---------------------------------------------------------------------------
 
 #: agg spec fn → Ray aggregate over the finest grain
-_ALGEBRAIC = ("count", "sum", "min", "max", "mean")
+_ALGEBRAIC = ("count", "sum", "min", "max", "mean", "var", "std")
 
 
 def _validate_agg_specs(aggs: Sequence[dict]) -> None:
@@ -428,7 +428,23 @@ def _validate_agg_specs(aggs: Sequence[dict]) -> None:
 
 def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.DataFrame:
     """One distributed shuffle: per-finest-group algebraic partials.
-    mean is carried as (sum, count) and finalized per grouping set."""
+    mean is carried as (sum, count), var/std as (sum, sum-of-squares,
+    count) — all re-aggregable, finalized per grouping set."""
+    # var/std partials need a squared column on the INPUT before the
+    # groupby: append them once (one extra f64 column per distinct col)
+    sq_cols = {a["col"] for a in aggs if a["fn"] in ("var", "std")}
+    if sq_cols:
+        _sq = sorted(sq_cols)
+
+        def add_sq(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for c in _sq:
+                v = pc.cast(t[c], pa.float64())
+                t = t.append_column(f"__sq__{c}", pc.multiply(v, v))
+            return t
+
+        ds = ds.map_batches(add_sq, batch_format="pyarrow")
     ray_aggs = []
     for a in aggs:
         fn, col, out = a["fn"], a.get("col"), a["out"]
@@ -448,6 +464,10 @@ def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.Data
         elif fn == "mean":
             # SQL avg divides by the NON-NULL count of col, not count(*)
             ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
+            ray_aggs.append(Count(col, ignore_nulls=True, alias_name=f"__cnt_{out}"))
+        elif fn in ("var", "std"):
+            ray_aggs.append(Sum(col, alias_name=f"__sum_{out}"))
+            ray_aggs.append(Sum(f"__sq__{col}", alias_name=f"__ssq_{out}"))
             ray_aggs.append(Count(col, ignore_nulls=True, alias_name=f"__cnt_{out}"))
         else:
             raise ValueError(f"unsupported agg fn {fn!r}; algebraic fns: {_ALGEBRAIC}")
@@ -487,6 +507,10 @@ def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> p
         elif fn == "mean":
             how[f"__sum_{out}"] = _sum_null_if_empty
             how[f"__cnt_{out}"] = "sum"
+        elif fn in ("var", "std"):
+            how[f"__sum_{out}"] = _sum_null_if_empty
+            how[f"__ssq_{out}"] = _sum_null_if_empty
+            how[f"__cnt_{out}"] = "sum"
     if sub_keys:
         g = base.groupby(sub_keys, dropna=False).agg(how).reset_index()
     else:
@@ -503,6 +527,13 @@ def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> p
             g[out] = g[f"__cnt_{out}"].astype("int64")
         elif fn == "mean":
             g[out] = g[f"__sum_{out}"] / g[f"__cnt_{out}"]
+        elif fn in ("var", "std"):
+            # SAMPLE variance (SQL var_samp / stddev_samp): NULL when
+            # n < 2; clip tiny negative float residue before the sqrt
+            n_ = g[f"__cnt_{out}"].astype(float)
+            var = (g[f"__ssq_{out}"] - g[f"__sum_{out}"] ** 2 / n_) / (n_ - 1)
+            var = var.clip(lower=0.0).where(n_ >= 2)
+            g[out] = np.sqrt(var) if fn == "std" else var
         else:
             g[out] = g[f"__{fn}_{out}"]
     return g[sub_keys + [a["out"] for a in aggs]]

@@ -636,3 +636,33 @@ def test_window_hashed_strategy_parity(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     with pytest.raises(ValueError, match="unknown strategy"):
         window(ds, "user_id", "ts", specs, strategy="nope")
+
+
+def test_rollup_var_std_vs_duckdb(ray_session):
+    """Sample variance / stddev as re-aggregable (sum, sumsq, count)
+    partials — derived per grouping set, NULL below two samples."""
+    ds = read(SF, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    got = _norm_gid(
+        rollup(
+            ds, ["l_returnflag", "l_linestatus"],
+            [
+                {"fn": "count", "out": "n"},
+                {"fn": "var", "col": "l_quantity", "out": "v_qty"},
+                {"fn": "std", "col": "l_quantity", "out": "s_qty"},
+            ],
+        )
+    )
+    want = _norm_gid(
+        _duck(
+            """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   var_samp(l_quantity) AS v_qty,
+                   stddev_samp(l_quantity) AS s_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            """
+        )
+    )
+    _assert_frames_equal(got, want, {"v_qty": 6, "s_qty": 6})
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        rollup(ds, ["l_returnflag"], [{"fn": "var", "out": "x"}])
