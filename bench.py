@@ -174,8 +174,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             "k",
             "o",
             [{"out": "rn", "fn": "row_number"}, {"out": "cs", "fn": "cumsum", "col": "v"}],
-            strategy="hashed",
-            num_partitions=2 * ncpu,
+            # default strategy='auto': 2M rows sits AT the hashed
+            # threshold, so this exercises the out-of-the-box plan a
+            # caller gets (auto → hashed kernel, auto bucket count)
         ).materialize()
         w_sec = time.perf_counter() - t0
         extras["window_1m_parts_hashed_sec"] = round(w_sec, 3)

@@ -286,9 +286,15 @@ def _apply_specs_grouped(
 
 
 #: 'auto' window strategy flips from per-group map_groups to the hashed
-#: multi-group kernel above this many input rows; override via
+#: multi-group kernel at or above this many input rows; override via
 #: KGFORGE_WINDOW_HASHED_ROWS
 WINDOW_HASHED_ROWS = 2_000_000
+
+#: hashed-strategy bucket sizing target (rows per bucket) when
+#: num_partitions is None; override via KGFORGE_WINDOW_BUCKET_ROWS.
+#: Each bucket is one worker-heap pandas frame, so this bounds the
+#: kernel's peak per-worker memory.
+WINDOW_BUCKET_ROWS = 250_000
 
 
 def window(
@@ -299,13 +305,19 @@ def window(
     *,
     descending: bool | Sequence[bool] = False,
     allow_global: bool = False,
-    strategy: str = "groups",
-    num_partitions: int = 64,
+    strategy: str = "auto",
+    num_partitions: int | None = None,
 ) -> Dataset:
     """SQL window functions over ``PARTITION BY partition_by ORDER BY
     order_by``; frame semantics are ``ROWS`` (``ROWS UNBOUNDED
     PRECEDING`` for cumulative fns, ``ROWS window-1 PRECEDING`` for
     rolling fns) — match the oracle SQL with an explicit ROWS frame.
+    Exception: ``last_value`` and ``nth_value`` use the FULL-partition
+    frame (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING``) — under SQL's default running frame ``last_value``
+    would always equal the current peer-group end, which is never what
+    callers want; a SQL port with default frames must add the explicit
+    UNBOUNDED FOLLOWING frame to match.
 
     ``specs``: list of ``{"out": name, "fn": name, ...}`` dicts, fn one
     of ``WINDOW_FNS``.  ``lag``/``lead`` take ``col`` and ``offset``;
@@ -321,16 +333,24 @@ def window(
     requires ``allow_global=True`` (meant for small / pre-aggregated
     inputs only).
 
-    ``strategy``: ``'groups'`` (default) shuffles with
-    ``groupby(partition).map_groups`` — right while partitions are few
-    and large.  ``'hashed'`` hash-buckets the partition KEYS into
-    ``num_partitions`` coarse groups and runs the vectorized multi-group
-    kernel (``_apply_specs_grouped``) once per bucket — the
-    million-partition path: Ray pays ~7 µs per ``map_groups`` group, so
-    a 10⁶-key PARTITION BY costs seconds of pure per-group overhead
-    that the hashed kernel replaces with one sort + numpy/Cython scans.
-    ``'auto'`` picks 'hashed' above KGFORGE_WINDOW_HASHED_ROWS input
-    rows (correct either way — only the physical grouping differs).
+    ``strategy``: ``'auto'`` (default) picks 'hashed' at or above
+    KGFORGE_WINDOW_HASHED_ROWS input rows, 'groups' below (correct
+    either way — only the physical grouping differs).  ``'groups'``
+    shuffles with ``groupby(partition).map_groups`` — right while
+    partitions are few and large.  ``'hashed'`` hash-buckets the
+    partition KEYS into ``num_partitions`` coarse groups and runs the
+    vectorized multi-group kernel (``_apply_specs_grouped``) once per
+    bucket — the million-partition path: Ray pays ~7 µs per
+    ``map_groups`` group, so a 10⁶-key PARTITION BY costs seconds of
+    pure per-group overhead that the hashed kernel replaces with one
+    sort + numpy/Cython scans.
+
+    ``num_partitions`` (hashed only) bounds memory: each bucket holds
+    ~rows/num_partitions rows in ONE worker's pandas heap for the sort.
+    ``None`` (default) sizes it as rows / KGFORGE_WINDOW_BUCKET_ROWS
+    (default 250k, floor 64) so the per-bucket frame stays worker-sized
+    no matter the input — a fixed count would put N/64 rows in one heap
+    at exactly the scale that triggers the hashed plan.
     """
     order_keys = _as_list(order_by)
     asc = (
@@ -356,6 +376,7 @@ def window(
         return ds.repartition(1).map_batches(apply_all, batch_format="pandas", batch_size=None)
 
     part_keys = _as_list(partition_by)
+    n_rows: int | None = None
     if strategy == "auto":
         import os
 
@@ -364,12 +385,24 @@ def window(
         # multi-million-row inputs this gate exists for (smart_join's
         # auto does the same)
         ds = ds.materialize()
+        n_rows = ds.count()
         limit = int(os.environ.get("KGFORGE_WINDOW_HASHED_ROWS", WINDOW_HASHED_ROWS))
-        strategy = "hashed" if ds.count() > limit else "groups"
+        strategy = "hashed" if n_rows >= limit else "groups"
     if strategy == "hashed":
         from kgforge.relops import sample_hash_u64
 
-        P = int(num_partitions)
+        if num_partitions is None:
+            import os
+
+            if n_rows is None:
+                ds = ds.materialize()
+                n_rows = ds.count()
+            target = int(os.environ.get("KGFORGE_WINDOW_BUCKET_ROWS", WINDOW_BUCKET_ROWS))
+            # ceil-divide so every bucket targets ≤ target rows; floor 64
+            # keeps small-but-forced-hashed inputs parallel
+            P = max(64, -(-n_rows // max(1, target)))
+        else:
+            P = int(num_partitions)
 
         def add_part(t: pa.Table) -> pa.Table:
             h = np.zeros(t.num_rows, dtype=np.uint64)

@@ -8,6 +8,8 @@ probe only the closest ``nprobe`` cells.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -227,7 +229,8 @@ def ivf_topk(ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10,
 
 def ivf_build(ds, path: str, n_centroids: int | None = None, *,
               sample_mod: int | None = None, seed: int = 3,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              overwrite: bool = False) -> np.ndarray:
     """Build the persisted IVF index: train a ~√N quantizer, tag every
     row with its nearest-centroid cell, and write hive-partitioned
     parquet (``<path>/cells/ivf_cell=<c>/``) so a probe READS only its
@@ -236,9 +239,42 @@ def ivf_build(ds, path: str, n_centroids: int | None = None, *,
     (``<path>/centroids.parquet``).  Returns the centroids.
 
     One directory per cell also makes the build resumable/appendable in
-    the usual partitioned-parquet way (task-brief 'resumable output')."""
-    import pyarrow.parquet as pq
+    the usual partitioned-parquet way (task-brief 'resumable output') —
+    but ONLY with identical centroids: Ray's ``write_parquet`` never
+    deletes, so rebuilding into a populated ``<path>/cells`` would leave
+    the old files next to the new ones while ``centroids.parquet`` is
+    silently overwritten, and every later probe would return
+    duplicate/stale rows.  A non-empty ``cells/`` therefore fails fast;
+    pass ``overwrite=True`` to delete and rebuild."""
+    import shutil
 
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    cells_dir = f"{path}/cells"
+    if "://" not in path and os.path.isdir(cells_dir) and os.listdir(cells_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{cells_dir} already holds an index; write_parquet appends, so a "
+                "rebuild would mix stale cells with new centroids. Pass "
+                "overwrite=True (deletes it), or append only with the ORIGINAL "
+                "centroids via ivf_assign(...).write_parquet(...)"
+            )
+        shutil.rmtree(cells_dir)
+    elif "://" in path:
+        filesystem, root = pafs.FileSystem.from_uri(path)
+        sel = pafs.FileSelector(f"{root}/cells", recursive=True, allow_not_found=True)
+        if any(fi.is_file for fi in filesystem.get_file_info(sel)):
+            if not overwrite:
+                raise FileExistsError(
+                    f"{path}/cells already holds an index (see local-path message)"
+                )
+            filesystem.delete_dir(f"{root}/cells")
+
+    # one materialize up front: train_centroids(n_centroids=None) counts,
+    # sampling re-consumes, and the assignment pass consumes again — on a
+    # lazy input the upstream lineage would execute up to three times
+    ds = ds.materialize()
     centroids = train_centroids(
         ds, n_centroids, sample_mod, seed=seed, vec_col=vec_col, id_col=id_col
     )

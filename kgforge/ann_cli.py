@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--n-centroids", type=int, default=0, help="0 = auto (~sqrt N)")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    b.add_argument("--overwrite", action="store_true",
+                   help="delete an existing index at --out instead of failing fast")
 
     s = sub.add_parser("search", help="probe a persisted index")
     s.add_argument("--index", required=True)
@@ -100,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             args.n_centroids or None,
             id_col=args.id_col,
             vec_col=args.vec_col,
+            overwrite=args.overwrite,
         )
         n = ds.count()
         print(json.dumps({"index": args.out, "rows": n, "n_centroids": len(cent)}))

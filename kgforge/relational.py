@@ -1037,9 +1037,13 @@ def q_doc_exact_dedup_sha(sf_dir: str):
     # parquet FILE metadata, not ds.count(): counting the mapped lineage
     # would itself be a full read pass
     if parquet_rows(sf_dir, "documents") <= _cap:
+        # int_cols pins only the COUNT output: min preserves the keeper
+        # id's own dtype, and casting it would crash string doc_ids on
+        # this path only (the distributed Min fallback handles them) —
+        # a path-dependent type contract (ADVICE r3)
         got = _combine_partials(
             partials, ["text_sha"], {"p_min": "keeper_doc_id", "p_n": "n_copies"},
-            int_cols=("keeper_doc_id", "n_copies"), how={"p_min": "min"},
+            int_cols=("n_copies",), how={"p_min": "min"},
         )
     if got is None:
         got = (
