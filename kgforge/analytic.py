@@ -459,10 +459,29 @@ def _validate_agg_specs(aggs: Sequence[dict]) -> None:
             raise ValueError(f"agg fn {fn!r} needs a 'col'")
 
 
-def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.DataFrame:
+def _partial_names(aggs: list[dict]) -> list[str]:
+    """Partial-column aliases the finest aggregate emits for ``aggs``."""
+    names: list[str] = []
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn == "count":
+            names.append(f"__cnt_{out}")
+        elif fn in ("sum", "min", "max"):
+            names.append(f"__{fn}_{out}")
+        elif fn == "mean":
+            names += [f"__sum_{out}", f"__cnt_{out}"]
+        elif fn in ("var", "std"):
+            names += [f"__sum_{out}", f"__ssq_{out}", f"__cnt_{out}"]
+    seen: set[str] = set()
+    return [n for n in names if not (n in seen or seen.add(n))]
+
+
+def _finest_aggregate_ds(ds: Dataset, keys: list[str], aggs: list[dict]) -> Dataset:
     """One distributed shuffle: per-finest-group algebraic partials.
     mean is carried as (sum, count), var/std as (sum, sum-of-squares,
-    count) — all re-aggregable, finalized per grouping set."""
+    count) — all re-aggregable, finalized per grouping set.  Returns the
+    aggregated DATASET (one row per finest group) — whether it ever
+    lands on the driver is the caller's capped decision."""
     # var/std partials need a squared column on the INPUT before the
     # groupby: append them once (one extra f64 column per distinct col)
     sq_cols = {a["col"] for a in aggs if a["fn"] in ("var", "std")}
@@ -512,11 +531,18 @@ def _finest_aggregate(ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.Data
         if alias not in names:
             names.add(alias)
             uniq.append(ra)
-    base = ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*uniq).to_pandas()
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*uniq)
+
+
+def _collect_base(base_ds: Dataset, keys: list[str], aggs: list[dict]) -> pd.DataFrame:
+    """Driver-side finest-partials frame (the under-cap path)."""
+    base = base_ds.to_pandas()
     if base.empty:
         # empty input: pin the expected columns so the grand-total row
         # can still be derived (SQL ROLLUP over an empty table emits it)
-        base = pd.DataFrame({c: pd.Series(dtype=float) for c in keys + sorted(names)})
+        base = pd.DataFrame(
+            {c: pd.Series(dtype=float) for c in keys + sorted(_partial_names(aggs))}
+        )
     return base
 
 
@@ -554,6 +580,13 @@ def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> p
             for col, op in how.items()
         }
         g = pd.DataFrame([row])
+    g = _finalize_partials(g, aggs)
+    return g[sub_keys + [a["out"] for a in aggs]]
+
+
+def _finalize_partials(g: pd.DataFrame, aggs: Sequence[dict]) -> pd.DataFrame:
+    """Combined partial columns → final agg outputs (shared by the
+    driver finalize and the in-cluster per-set finalize)."""
     for a in aggs:
         fn, out = a["fn"], a["out"]
         if fn == "count":
@@ -569,24 +602,143 @@ def _reaggregate(base: pd.DataFrame, sub_keys: list[str], aggs: list[dict]) -> p
             g[out] = np.sqrt(var) if fn == "std" else var
         else:
             g[out] = g[f"__{fn}_{out}"]
-    return g[sub_keys + [a["out"] for a in aggs]]
+    return g
+
+
+#: driver finalize gathers at most this many finest-grain rows; above it
+#: every grouping set is re-aggregated IN-CLUSTER (one small groupby per
+#: set over the already-aggregated finest grain) and only the final,
+#: caller-requested result ever reaches the driver.  Override via
+#: KGFORGE_GROUPING_FINEST_CAP — the same gated-driver-combine pattern
+#: as relational._combine_partials.
+GROUPING_FINEST_CAP = 1_000_000
+
+
+def _gid(keys: list[str], sub: list[str]) -> int:
+    gid = 0
+    for i, k in enumerate(keys):
+        if k not in set(sub):
+            gid |= 1 << (len(keys) - 1 - i)
+    return gid
+
+
+def _set_reaggs(aggs: Sequence[dict]):
+    """Ray aggregates that collapse finest partials to one grouping set
+    (alias == partial column name, so _finalize_partials applies as-is)."""
+    ras, seen = [], set()
+
+    def add(cls, col):
+        if col not in seen:
+            seen.add(col)
+            ras.append(cls(col, alias_name=col))
+
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn == "count":
+            add(Sum, f"__cnt_{out}")
+        elif fn in ("sum", "mean"):
+            add(Sum, f"__sum_{out}")
+            if fn == "mean":
+                add(Sum, f"__cnt_{out}")
+        elif fn == "min":
+            add(Min, f"__min_{out}")
+        elif fn == "max":
+            add(Max, f"__max_{out}")
+        elif fn in ("var", "std"):
+            add(Sum, f"__sum_{out}")
+            add(Sum, f"__ssq_{out}")
+            add(Sum, f"__cnt_{out}")
+    return ras
+
+
+def _grouping_sets_distributed(
+    base_ds: Dataset, keys: list[str], sets: Sequence[Sequence[str]], aggs: list[dict]
+) -> Dataset:
+    """Over-cap plan: each grouping set is one small in-cluster groupby
+    over the finest-grain partials (already ≤ finest-group cardinality),
+    finalized per batch and cast to ONE pinned schema so the per-set
+    datasets union cleanly.  Output column types: keys keep their input
+    types (null where rolled up), count → int64, min/max keep the
+    partial's type, sum/mean/var/std → float64."""
+    import ray.data as rd
+
+    base_schema: pa.Schema = base_ds.schema().base_schema
+    outs = [a["out"] for a in aggs]
+    fields = [pa.field(k, base_schema.field(k).type) for k in keys]
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn == "count":
+            fields.append(pa.field(out, pa.int64()))
+        elif fn in ("min", "max"):
+            fields.append(pa.field(out, base_schema.field(f"__{fn}_{out}").type))
+        else:
+            fields.append(pa.field(out, pa.float64()))
+    fields.append(pa.field("grouping_id", pa.int64()))
+    target = pa.schema(fields)
+    cols = keys + outs + ["grouping_id"]
+
+    def make_fin(sub: list[str], gid: int):
+        def fin(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                return target.empty_table()
+            g = _finalize_partials(df, aggs)
+            for k in keys:
+                if k not in set(sub):
+                    g[k] = None
+            g["grouping_id"] = np.int64(gid)
+            return pa.Table.from_pandas(g[cols], schema=target, preserve_index=False)
+
+        return fin
+
+    parts: list[Dataset] = []
+    for s in sets:
+        sub = [k for k in keys if k in set(s)]  # canonical key order
+        gid = _gid(keys, sub)
+        if sub:
+            agg = base_ds.groupby(sub[0] if len(sub) == 1 else sub).aggregate(
+                *_set_reaggs(aggs)
+            )
+            parts.append(agg.map_batches(make_fin(sub, gid), batch_format="pandas"))
+        else:
+            # grand total: one global aggregate → a single driver row
+            row = base_ds.aggregate(*_set_reaggs(aggs)) or {}
+            frame = pd.DataFrame([{k: row.get(k) for k in _partial_names(aggs)}])
+            parts.append(rd.from_arrow(make_fin([], gid)(frame)))
+    out = parts[0]
+    if len(parts) > 1:
+        out = out.union(*parts[1:])
+    return out
 
 
 def grouping_sets(
-    ds: Dataset, keys: Sequence[str], sets: Sequence[Sequence[str]], aggs: Sequence[dict]
-) -> pd.DataFrame:
+    ds: Dataset,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence[dict],
+    *,
+    output: str = "pandas",
+) -> pd.DataFrame | Dataset:
     """``GROUP BY GROUPING SETS (...)`` with algebraic aggregates.
 
     ``keys``: every column any set uses (defines the bitmask order —
     bit i set ⇔ keys[i] is AGGREGATED AWAY in that row, matching
     DuckDB's ``GROUPING(keys...)``).  ``aggs``: list of
-    ``{"fn": "count|sum|min|max|mean", "col": c, "out": name}``.
+    ``{"fn": "count|sum|min|max|mean|var|std", "col": c, "out": name}``.
 
-    ONE distributed shuffle at the finest grain; every set is derived
-    from those partials driver-side (result is group-cardinality-sized).
-    Returns a pandas DataFrame with all key columns (None where rolled
-    up), the agg columns, and ``grouping_id``.
+    ONE distributed shuffle at the finest grain.  Below
+    KGFORGE_GROUPING_FINEST_CAP finest rows the per-set derivation runs
+    driver-side over the gathered partials (fast at bench scale); above
+    it — e.g. CUBE over a high-cardinality key, where the finest grain
+    is ~input-sized — each set is re-aggregated IN-CLUSTER and the
+    driver only ever holds the final result.  ``output='pandas'``
+    (default) returns a DataFrame with all key columns (None where
+    rolled up), the agg columns, and ``grouping_id``;
+    ``output='dataset'`` skips the driver path entirely and returns the
+    unioned Dataset (the 100-TB shape — nothing result-sized on the
+    driver either).
     """
+    if output not in ("pandas", "dataset"):
+        raise ValueError(f"unknown output {output!r} (pandas|dataset)")
     keys = list(keys)
     aggs = [dict(a) for a in aggs]
     _validate_agg_specs(aggs)
@@ -594,33 +746,46 @@ def grouping_sets(
         unknown = set(s) - set(keys)
         if unknown:
             raise ValueError(f"grouping set {s} uses columns not in keys: {unknown}")
-    base = _finest_aggregate(ds, keys, aggs)
+    # materialize: the finest shuffle is consumed once per grouping set
+    # on the distributed path (and count() + to_pandas on the driver
+    # path) — without it the upstream lineage would re-execute per set
+    base_ds = _finest_aggregate_ds(ds, keys, aggs).materialize()
+    if output == "dataset":
+        return _grouping_sets_distributed(base_ds, keys, sets, aggs)
+    import os
+
+    cap = int(os.environ.get("KGFORGE_GROUPING_FINEST_CAP", GROUPING_FINEST_CAP))
+    if base_ds.count() > cap:
+        return _grouping_sets_distributed(base_ds, keys, sets, aggs).to_pandas()
+    base = _collect_base(base_ds, keys, aggs)
     out_frames = []
     for s in sets:
         sub = [k for k in keys if k in set(s)]  # canonical key order
         g = _reaggregate(base, sub, aggs)
-        gid = 0
-        for i, k in enumerate(keys):
+        for k in keys:
             if k not in set(sub):
-                gid |= 1 << (len(keys) - 1 - i)
                 g[k] = None
-        g["grouping_id"] = np.int64(gid)
+        g["grouping_id"] = np.int64(_gid(keys, sub))
         out_frames.append(g[keys + [a["out"] for a in aggs] + ["grouping_id"]])
     return pd.concat(out_frames, ignore_index=True)
 
 
-def rollup(ds: Dataset, keys: Sequence[str], aggs: Sequence[dict]) -> pd.DataFrame:
+def rollup(
+    ds: Dataset, keys: Sequence[str], aggs: Sequence[dict], *, output: str = "pandas"
+) -> pd.DataFrame | Dataset:
     """``GROUP BY ROLLUP (keys...)``: prefixes of ``keys`` incl. grand total."""
     keys = list(keys)
     sets = [keys[:i] for i in range(len(keys), -1, -1)]
-    return grouping_sets(ds, keys, sets, aggs)
+    return grouping_sets(ds, keys, sets, aggs, output=output)
 
 
-def cube(ds: Dataset, keys: Sequence[str], aggs: Sequence[dict]) -> pd.DataFrame:
+def cube(
+    ds: Dataset, keys: Sequence[str], aggs: Sequence[dict], *, output: str = "pandas"
+) -> pd.DataFrame | Dataset:
     """``GROUP BY CUBE (keys...)``: every subset of ``keys``."""
     keys = list(keys)
     sets = list(chain.from_iterable(combinations(keys, r) for r in range(len(keys), -1, -1)))
-    return grouping_sets(ds, keys, [list(s) for s in sets], aggs)
+    return grouping_sets(ds, keys, [list(s) for s in sets], aggs, output=output)
 
 
 # ---------------------------------------------------------------------------

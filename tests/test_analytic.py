@@ -666,3 +666,82 @@ def test_rollup_var_std_vs_duckdb(ray_session):
     _assert_frames_equal(got, want, {"v_qty": 6, "s_qty": 6})
     with pytest.raises(ValueError, match="needs a 'col'"):
         rollup(ds, ["l_returnflag"], [{"fn": "var", "out": "x"}])
+
+
+# ---------------------------------------------------------------------------
+# capped grouping-sets finalize (VERDICT r3 "What's wrong" #1)
+# ---------------------------------------------------------------------------
+
+
+def test_cube_forced_distributed_finalize(ray_session, monkeypatch):
+    """With the finest-grain cap forced to ~10 rows the driver finalize
+    must bail to the in-cluster per-set plan and produce the SAME frame
+    the driver plan does (and DuckDB agrees with both)."""
+    ds = read(
+        SF, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    driver = _norm_gid(cube(ds, ["l_returnflag", "l_linestatus"], AGGS))
+    monkeypatch.setenv("KGFORGE_GROUPING_FINEST_CAP", "10")
+    dist = _norm_gid(cube(ds, ["l_returnflag", "l_linestatus"], AGGS))
+    _assert_frames_equal(dist, driver, ROUND)
+    want = _norm_gid(
+        _duck(
+            f"""
+            SELECT l_returnflag, l_linestatus, {AGG_SQL},
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            """
+        )
+    )
+    _assert_frames_equal(dist, want, ROUND)
+
+
+def test_cube_high_cardinality_key_distributed(ray_session, monkeypatch):
+    """CUBE over a high-cardinality key (o_custkey: the finest grain is
+    ~input-sized — the driver-OOM shape the cap exists for): forced
+    distributed finalize vs DuckDB."""
+    monkeypatch.setenv("KGFORGE_GROUPING_FINEST_CAP", "10")
+    ds = read(SF, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    got = _norm_gid(
+        cube(
+            ds, ["o_custkey", "o_orderstatus"],
+            [
+                {"fn": "count", "out": "n"},
+                {"fn": "sum", "col": "o_totalprice", "out": "total"},
+                {"fn": "mean", "col": "o_totalprice", "out": "avg_price"},
+            ],
+        )
+    )
+    want = _norm_gid(
+        _duck(
+            """
+            SELECT o_custkey, o_orderstatus, count(*) AS n,
+                   sum(o_totalprice) AS total, avg(o_totalprice) AS avg_price,
+                   CAST(GROUPING(o_custkey, o_orderstatus) AS BIGINT) AS grouping_id
+            FROM orders GROUP BY CUBE (o_custkey, o_orderstatus)
+            """
+        )
+    )
+    # rolled-up o_custkey arrives as NaN (typed int64 null) vs DuckDB's
+    # None-in-float — normalize both to float
+    got["o_custkey"] = got["o_custkey"].astype(float)
+    want["o_custkey"] = want["o_custkey"].astype(float)
+    _assert_frames_equal(got, want, {"total": 2, "avg_price": 6})
+
+
+def test_rollup_output_dataset(ray_session):
+    """output='dataset' returns the unioned in-cluster Dataset (nothing
+    result-sized on the driver) equal to the driver-plan frame."""
+    ds = read(SF, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    aggs = [
+        {"fn": "count", "out": "n"},
+        {"fn": "sum", "col": "l_quantity", "out": "qty"},
+    ]
+    driver = _norm_gid(rollup(ds, ["l_returnflag", "l_linestatus"], aggs))
+    out = rollup(ds, ["l_returnflag", "l_linestatus"], aggs, output="dataset")
+    import ray.data as rd
+
+    assert isinstance(out, rd.Dataset)
+    got = _norm_gid(out.to_pandas())
+    _assert_frames_equal(got, driver, {"qty": 2})
