@@ -221,6 +221,23 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         extras["curation_docs_per_sec"] = round(n_docs / cur_sec, 1)
         extras["curation_kept_docs"] = cur.stats["after_neardup"]
 
+        # streaming configuration (stats='none'): no per-stage
+        # materializes — the result is lazy, so DRIVE it to parquet the
+        # way a shard job would (write = the stream's consumer)
+        import shutil as _sh
+
+        out_dir = "/tmp/kgforge_bench_curation_stream"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        cs = curate_corpus(
+            docs_ds, min_quality=0.2, neardup_threshold=0.7, stats="none"
+        )
+        cs.docs.write_parquet(f"{out_dir}/docs")
+        cs.packed.write_parquet(f"{out_dir}/packed")
+        stream_sec = time.perf_counter() - t0
+        extras["curation_stream_sec"] = round(stream_sec, 3)
+        extras["curation_stream_docs_per_sec"] = round(n_docs / stream_sec, 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

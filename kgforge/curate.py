@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet dir of the (h1,h2) corpus index so far")
     p.add_argument("--seq-len", type=int, default=1024)
     p.add_argument("--no-pack", action="store_true")
+    p.add_argument("--stats", default="counts", choices=("counts", "none"),
+                   help="'counts' materializes per stage for audited row counts; "
+                        "'none' streams stage-to-stage (the 100-TB configuration)")
     args = p.parse_args(argv)
 
     import ray
@@ -85,6 +88,7 @@ def main(argv: list[str] | None = None) -> None:
         known_hashes=known,
         seq_len=args.seq_len,
         pack=not args.no_pack,
+        stats=args.stats,
     )
     import pyarrow as pa
 

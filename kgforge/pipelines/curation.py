@@ -9,8 +9,20 @@ Every stage is the library operator it names (textops / dedup_ops), so
 the pipeline inherits each operator's scale shape: filters are
 vectorized ``map_batches``, dedup passes move hashes not text, the
 near-dup drop set and paragraph winner map broadcast once, and packing
-is batch-local.  Stages materialize between steps so the per-stage
-row counts in ``stats`` are metadata reads, not re-executions.
+is batch-local.
+
+``stats`` picks the materialization policy:
+
+- ``"counts"`` (default): every stage materializes so the per-stage row
+  counts in ``stats`` are metadata reads, not re-executions — right for
+  bench scale and for operating a shard you want audited.
+- ``"none"`` (the 100-TB streaming configuration): per-stage counts are
+  skipped and the corpus is pinned ONLY at genuine multi-consumer forks
+  (before near-dup, whose engine consumes the docs more than once;
+  after near-dup when the survivor index forks off; after paragraph
+  dedup when ``pack=True`` forks docs/packed).  Everything else streams
+  stage-to-stage with backpressure instead of pinning ~6 corpus-wide
+  intermediates in the object store.
 """
 
 from __future__ import annotations
@@ -56,8 +68,22 @@ def curate_corpus(
     known_hashes: Dataset | None = None,
     seq_len: int = 1024,
     pack: bool = True,
+    stats: str = "counts",
 ) -> CurationResult:
-    stats: dict[str, Any] = {"input_docs": ds.count()}
+    if stats not in ("counts", "none"):
+        raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
+    counting = stats == "counts"
+    st: dict[str, Any] = {"stats_mode": stats}
+    if counting:
+        st["input_docs"] = ds.count()
+
+    # id dtype probe from the INPUT schema (the id column passes through
+    # every stage unchanged) — works in streaming mode and on corpora
+    # the filters empty out, where the post-filter schema may be gone
+    in_schema = ds.schema()
+    id_is_int = in_schema is not None and pa.types.is_integer(
+        in_schema.base_schema.field(id_col).type
+    )
 
     # 1. language filter (n-gram heuristic lang-ID, vectorized filter)
     lang_arr = pa.array(list(langs), pa.string())
@@ -71,19 +97,31 @@ def curate_corpus(
         lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
         batch_format="pyarrow",
     )
-    cur = cur.select_columns([id_col, text_col]).materialize()
-    stats["after_lang_quality"] = cur.count()
+    cur = cur.select_columns([id_col, text_col])
+    if counting:
+        cur = cur.materialize()
+        st["after_lang_quality"] = cur.count()
 
     # 3. exact dedup: one survivor (min id) per distinct text
-    cur = exact_dedup_filter(cur, id_col, text_col).materialize()
-    stats["after_exact_dedup"] = cur.count()
+    cur = exact_dedup_filter(cur, id_col, text_col)
+    if counting:
+        cur = cur.materialize()
+        st["after_exact_dedup"] = cur.count()
 
     # 3b. cross-run dedup against the persisted corpus index (daily
     #     shard mode): content already ingested by a PRIOR run drops;
     #     the survivors' index is returned for the next shard
     if known_hashes is not None:
-        cur = incremental_dedup_filter(cur, known_hashes, text_col=text_col).materialize()
-        stats["after_incremental_dedup"] = cur.count()
+        cur = incremental_dedup_filter(cur, known_hashes, text_col=text_col)
+        if counting:
+            cur = cur.materialize()
+            st["after_incremental_dedup"] = cur.count()
+    if not counting:
+        # streaming mode's ONE pre-dedup pin: the near-dup engine
+        # consumes the corpus more than once (band build + verify +
+        # drop application) — without this the whole upstream lineage
+        # re-executes per consumer
+        cur = cur.materialize()
 
     # 4. near-dup drop via the flagship's auto-switching LSH engine
     #    (steps/dedup.neardup_drop_set): driver collision scan at bench
@@ -92,11 +130,6 @@ def curate_corpus(
     #    engine keeps each cluster's min STRING member, so integer ids
     #    are zero-padded to 20 decimal digits first — string order then
     #    equals numeric order and the numerically-smallest id survives.
-    id_is_int = (
-        stats["after_exact_dedup"] > 0
-        and pa.types.is_integer(cur.schema().base_schema.field(id_col).type)
-    )
-
     def _key(t: pa.Table) -> pa.Array:
         if not id_is_int:
             return pc.cast(t[id_col], pa.string())
@@ -134,23 +167,39 @@ def curate_corpus(
         ).map_batches(
             lambda t: t.drop_columns(["__nd_key"]), batch_format="pyarrow"
         )
-    cur = cur.materialize()
-    stats["after_neardup"] = cur.count()
-    stats["neardup_dropped"] = n_dropped
+    st["neardup_dropped"] = n_dropped
+    if counting:
+        cur = cur.materialize()
+        st["after_neardup"] = cur.count()
+    elif n_dropped:
+        # fork pin: the survivor index AND paragraph dedup both consume
+        # the post-neardup corpus (apply_drop_ds pinned its keyed input,
+        # but re-running the anti-join per consumer is still a shuffle)
+        cur = cur.materialize()
 
     # the shard's contribution to the corpus index: survivors' ORIGINAL
     # text (stage 3b checks pre-paragraph-rewrite content)
-    shard_index = content_hashes(cur, text_col).materialize()
+    shard_index = content_hashes(cur, text_col)
+    if counting:
+        shard_index = shard_index.materialize()
 
     # 5. paragraph-level boilerplate dedup (text never leaves its block)
-    cur = paragraph_dedup(cur, id_col, text_col).materialize()
-    dropped = cur.aggregate(Sum("n_dropped_paragraphs", alias_name="s"))
-    stats["paragraphs_dropped"] = int(dropped["s"] or 0)
+    cur = paragraph_dedup(cur, id_col, text_col)
+    if counting:
+        cur = cur.materialize()
+        dropped = cur.aggregate(Sum("n_dropped_paragraphs", alias_name="s"))
+        st["paragraphs_dropped"] = int(dropped["s"] or 0)
 
     packed = None
     if pack:
-        packed = pack_sequences(cur, text_col, seq_len=seq_len).materialize()
-        stats["packed_sequences"] = packed.count()
-        stats["packed_tokens"] = stats["packed_sequences"] * seq_len
+        if not counting:
+            # fork pin: docs and packed both derive from the paragraph
+            # output — the smallest corpus the pipeline ever holds
+            cur = cur.materialize()
+        packed = pack_sequences(cur, text_col, seq_len=seq_len)
+        if counting:
+            packed = packed.materialize()
+            st["packed_sequences"] = packed.count()
+            st["packed_tokens"] = st["packed_sequences"] * seq_len
 
-    return CurationResult(docs=cur, packed=packed, new_index=shard_index, stats=stats)
+    return CurationResult(docs=cur, packed=packed, new_index=shard_index, stats=st)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 import ray.data as rd
 
@@ -274,3 +275,48 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
     # leave different block layouts, so sequence counts may differ —
     # only the schema contract is layout-independent
     assert dist.packed.schema().base_schema.names == ["seq", "n_tokens"]
+
+
+def test_curate_corpus_streaming_mode_byte_identical(ray_session, monkeypatch):
+    """stats='none' (the streaming configuration: no per-stage
+    materializes, corpus pinned only at multi-consumer forks) must
+    produce byte-identical survivors to the default counted run — both
+    with every stage forced onto its distributed plan AND with the
+    default auto plans."""
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    def run(stats: str):
+        return curate_corpus(
+            ds, min_quality=0.2, neardup_threshold=0.6, pack=True, stats=stats
+        )
+
+    for forced in (False, True):
+        if forced:
+            for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
+                        "KGFORGE_DROP_APPLY_BROADCAST_ROWS", "KGFORGE_INC_DEDUP_DIST_ROWS"):
+                monkeypatch.setenv(var, "0")
+        counted, streamed = run("counts"), run("none")
+        a = counted.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+        b = streamed.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["text"].tolist() == b["text"].tolist()
+        assert a["n_dropped_paragraphs"].tolist() == b["n_dropped_paragraphs"].tolist()
+        # survivor index identical as a set of (h1, h2)
+        ia = sorted(map(tuple, counted.new_index.to_pandas().values.tolist()))
+        ib = sorted(map(tuple, streamed.new_index.to_pandas().values.tolist()))
+        assert ia == ib
+        # streaming skips per-stage counts but keeps the decision count
+        assert "after_neardup" not in streamed.stats
+        assert "neardup_dropped" in streamed.stats
+        assert streamed.packed is not None
+        # consuming docs a second time must still work (no dangling lazy
+        # double-execution surprises at the API surface)
+        assert streamed.docs.count() == counted.stats["after_neardup"]
+
+
+def test_curate_corpus_streaming_rejects_unknown_mode(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["hello world"], pa.string())}))
+    with pytest.raises(ValueError, match="stats mode"):
+        curate_corpus(ds, stats="всё")
