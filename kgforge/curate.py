@@ -12,6 +12,17 @@ and writes, under ``--out``:
                corpus index and pass as --known-index on the next shard
     stats.json per-stage row counts
 
+``--partitions K`` turns on per-partition checkpointing (same ledger
+design as the KG path, steps/ledger.py): the input parquet files are
+split into K groups, and stage A (the per-doc lang-ID + quality
+filters — the bulk of a shard's wall at 100 TB) writes each group's
+survivors to ``filtered/part-<k>/`` atomically with a
+``status='filtered'`` ledger row.  A killed run restarted with
+``--resume`` skips finished partitions and re-runs only stage B (the
+global dedup/pack stages over the checkpointed, already-shrunk
+survivors) — instead of restarting the whole multi-hour shard from
+zero.
+
 Owns its Ray session (guarded — never clobbers a driver-provided one);
 ``ray job submit -- python -m kgforge.curate ...`` works unchanged on a
 real cluster.
@@ -47,6 +58,98 @@ def _write_parquet_always(ds, path: str, fallback_schema) -> None:
     pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
 
 
+def _atomic_write_always(ds, final_dir: str, fallback_schema) -> None:
+    """_write_parquet_always staged into a tmp sibling then renamed —
+    a killed stage-A partition leaves only a .tmp dir the resumed run
+    deletes; the ledger row is written AFTER the rename, so a row
+    existing implies the data is fully published."""
+    import shutil
+
+    parent = os.path.dirname(final_dir.rstrip("/"))
+    os.makedirs(parent, exist_ok=True)
+    tmp = final_dir.rstrip("/") + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _write_parquet_always(ds, tmp, fallback_schema)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+
+
+def _input_files(pattern: str) -> list[str]:
+    """Expand --input (a dir, a file, or a glob) to a sorted file list."""
+    import glob as _glob
+
+    if os.path.isdir(pattern):
+        return sorted(
+            _glob.glob(os.path.join(pattern, "**", "*.parquet"), recursive=True)
+        )
+    if os.path.isfile(pattern):
+        return [pattern]
+    return sorted(_glob.glob(pattern))
+
+
+def _filter_partitions(args, files: list[str]) -> str:
+    """Stage A: per-partition lang+quality filter with ledger resume.
+    Returns the directory the checkpointed survivors live under."""
+    import glob as _glob
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.pipelines.curation import lang_quality_filter
+    from kgforge.steps.ledger import (
+        completed_partitions,
+        current_epoch,
+        ledger_row,
+        write_ledger_row,
+    )
+
+    out = args.out
+    k = min(args.partitions, len(files))
+    step = (len(files) + k - 1) // k
+    groups = [files[i : i + step] for i in range(0, len(files), step)]
+    done = completed_partitions(out, "filtered") if args.resume else set()
+    epoch = (current_epoch(out) + 1) if args.resume else 1
+    langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
+    fdir = os.path.join(out, "filtered")
+    schema = pa.schema([(args.id_col, pa.int64()), (args.text_col, pa.string())])
+    for pid, group in enumerate(groups):
+        part_dir = os.path.join(fdir, f"part-{pid}")
+        if pid in done:
+            continue
+        for debris in _glob.glob(part_dir + ".tmp-*"):
+            import shutil
+
+            shutil.rmtree(debris, ignore_errors=True)
+        t0 = time.monotonic()
+        ds_p = rd.read_parquet(group)
+        n_in = ds_p.count()
+        filtered = lang_quality_filter(
+            ds_p, args.text_col, langs=langs, min_quality=args.min_quality
+        ).select_columns([args.id_col, args.text_col])
+        _atomic_write_always(filtered, part_dir, schema)
+        # survivor count from the published files' parquet metadata —
+        # no second execution of the filter lineage
+        import pyarrow.parquet as pq
+
+        n_kept = sum(
+            pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        # url_min/url_max carry the partition's input-file range (the
+        # lineage a resume needs to map rows back to inputs)
+        write_ledger_row(
+            out,
+            ledger_row(pid, group[0], group[-1], epoch, n_in, n_kept, -1,
+                       "filtered", time.monotonic() - t0),
+            f"part-{pid}",
+        )
+    return fdir
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="kgforge corpus curation")
     p.add_argument("--input", required=True, help="input parquet path/glob")
@@ -63,6 +166,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--stats", default="counts", choices=("counts", "none"),
                    help="'counts' materializes per stage for audited row counts; "
                         "'none' streams stage-to-stage (the 100-TB configuration)")
+    p.add_argument("--partitions", type=int, default=0,
+                   help="checkpoint stage A (lang+quality filter) across this many "
+                        "input-file partitions with a resume ledger (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stage-A partitions whose ledger row exists")
     args = p.parse_args(argv)
 
     import ray
@@ -78,8 +186,20 @@ def main(argv: list[str] | None = None) -> None:
     from kgforge.pipelines.curation import curate_corpus
 
     known = rd.read_parquet(args.known_index) if args.known_index else None
+    skip_filters = False
+    if args.partitions > 0:
+        files = _input_files(args.input)
+        if not files:
+            raise SystemExit(f"no parquet files match {args.input}")
+        os.makedirs(args.out, exist_ok=True)
+        fdir = _filter_partitions(args, files)
+        # stage B consumes the checkpointed, already-filtered survivors
+        in_ds = rd.read_parquet(fdir)
+        skip_filters = True
+    else:
+        in_ds = rd.read_parquet(args.input)
     res = curate_corpus(
-        rd.read_parquet(args.input),
+        in_ds,
         id_col=args.id_col,
         text_col=args.text_col,
         langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
@@ -89,24 +209,40 @@ def main(argv: list[str] | None = None) -> None:
         seq_len=args.seq_len,
         pack=not args.no_pack,
         stats=args.stats,
+        skip_filters=skip_filters,
     )
     import pyarrow as pa
 
     os.makedirs(args.out, exist_ok=True)
-    _write_parquet_always(
+    # atomic REPLACE, not append: Ray's write_parquet never deletes, so
+    # a rerun (or a --resume) into the same --out would otherwise leave
+    # the previous run's docs next to the new ones
+    _atomic_write_always(
         res.docs, os.path.join(args.out, "docs"),
         pa.schema([(args.id_col, pa.int64()), (args.text_col, pa.string()),
                    ("n_dropped_paragraphs", pa.int64())]),
     )
-    _write_parquet_always(
+    _atomic_write_always(
         res.new_index, os.path.join(args.out, "index"),
         pa.schema([("h1", pa.int64()), ("h2", pa.int64())]),
     )
     if res.packed is not None:
-        _write_parquet_always(
+        _atomic_write_always(
             res.packed, os.path.join(args.out, "packed"),
             pa.schema([("seq", pa.list_(pa.int32())), ("n_tokens", pa.int64())]),
         )
+    if args.partitions > 0:
+        # global-stage summary row (mirrors the KG path's 'materialized'
+        # row): pid -1, n_docs = survivors if counted
+        from kgforge.steps.ledger import current_epoch, ledger_row, write_ledger_row
+
+        write_ledger_row(
+            args.out,
+            ledger_row(-1, "", "", current_epoch(args.out), 0,
+                       res.stats.get("after_neardup", -1), -1, "curated", 0.0),
+            "summary-curated",
+        )
+        res.stats["checkpoint_partitions"] = args.partitions
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(res.stats, f, indent=1, sort_keys=True)
     print(json.dumps(res.stats, sort_keys=True))

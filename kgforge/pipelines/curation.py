@@ -56,6 +56,30 @@ class CurationResult:
     stats: dict[str, Any] = field(default_factory=dict)
 
 
+def lang_quality_filter(
+    ds: Dataset,
+    text_col: str = "text",
+    *,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.35,
+) -> Dataset:
+    """Stages 1+2 of the curation pipeline as a standalone operator:
+    n-gram lang-ID allow-list filter, then the composite quality-score
+    threshold — both vectorized ``map_batches`` filters.  Exposed
+    separately so the checkpointed shard CLI (``kgforge.curate
+    --partitions``) can run it per input partition with a ledger row,
+    then feed ``curate_corpus(..., skip_filters=True)``."""
+    lang_arr = pa.array(list(langs), pa.string())
+    cur = add_lang_id(ds, text_col).map_batches(
+        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=lang_arr)),
+        batch_format="pyarrow",
+    )
+    return add_quality(cur, text_col).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
+        batch_format="pyarrow",
+    )
+
+
 def curate_corpus(
     ds: Dataset,
     *,
@@ -69,6 +93,7 @@ def curate_corpus(
     seq_len: int = 1024,
     pack: bool = True,
     stats: str = "counts",
+    skip_filters: bool = False,
 ) -> CurationResult:
     if stats not in ("counts", "none"):
         raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
@@ -85,17 +110,10 @@ def curate_corpus(
         in_schema.base_schema.field(id_col).type
     )
 
-    # 1. language filter (n-gram heuristic lang-ID, vectorized filter)
-    lang_arr = pa.array(list(langs), pa.string())
-    cur = add_lang_id(ds, text_col).map_batches(
-        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=lang_arr)),
-        batch_format="pyarrow",
-    )
-
-    # 2. quality filter (length/punct/stopword/distinct composite score)
-    cur = add_quality(cur, text_col).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
-        batch_format="pyarrow",
+    # 1+2. lang-ID + quality filters (skip_filters=True when the input
+    # is already the checkpointed output of lang_quality_filter)
+    cur = ds if skip_filters else lang_quality_filter(
+        ds, text_col, langs=langs, min_quality=min_quality
     )
     cur = cur.select_columns([id_col, text_col])
     if counting:

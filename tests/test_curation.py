@@ -320,3 +320,64 @@ def test_curate_corpus_streaming_rejects_unknown_mode(ray_session):
                                  "text": pa.array(["hello world"], pa.string())}))
     with pytest.raises(ValueError, match="stats mode"):
         curate_corpus(ds, stats="всё")
+
+
+def test_curate_cli_checkpointed_partitions_and_resume(ray_session, tmp_path):
+    """--partitions K checkpoints stage A (lang+quality) per input-file
+    group with a ledger row; a --resume run SKIPS finished partitions
+    (proven by tampering a published part: the resumed run must not
+    rewrite it) and re-runs only the global stages."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+    from kgforge.steps.ledger import completed_partitions, read_ledger
+
+    docs = _corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # 4 input files → 2 partitions of 2 files
+    quarters = [docs.iloc[i::4] for i in range(4)]
+    for i, q in enumerate(quarters):
+        pq.write_table(
+            pa.Table.from_pandas(q, preserve_index=False), str(indir / f"f{i}.parquet")
+        )
+    out = tmp_path / "out"
+    base_out = tmp_path / "base"
+    args = ["--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack"]
+    curate_main(["--input", str(indir), "--out", str(base_out), *args])
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "2"])
+
+    # same survivors as the non-checkpointed run
+    a = pq.read_table(str(out / "docs")).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    b = pq.read_table(str(base_out / "docs")).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["text"].tolist() == b["text"].tolist()
+
+    # ledger: 2 filtered partitions + the global summary row
+    assert completed_partitions(str(out), "filtered") == {0, 1}
+    led = read_ledger(str(out)).to_pylist()
+    assert any(r["status"] == "curated" and r["partition_id"] == -1 for r in led)
+    frows = {r["partition_id"]: r for r in led if r["status"] == "filtered"}
+    assert frows[0]["url_min"].endswith("f0.parquet")  # input lineage recorded
+    assert sum(r["n_pages"] for r in frows.values()) == len(docs)
+
+    # RESUME: tamper part-0's published file; the resumed run must skip
+    # the partition (tamper survives) and still produce correct output
+    part0 = out / "filtered" / "part-0"
+    victim = next(f for f in part0.iterdir() if f.suffix == ".parquet")
+    t = pq.read_table(str(victim))
+    marker = t.slice(0, 1)
+    pq.write_table(marker, str(victim))  # shrink to 1 row as a tamper marker
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "2", "--resume"])
+    assert pq.read_table(str(victim)).num_rows == 1  # partition NOT recomputed
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["checkpoint_partitions"] == 2
+    # resumed global stage consumed the (tampered) checkpoint: docs shrink
+    n_after = pq.read_table(str(out / "docs")).num_rows
+    assert n_after < len(a)
