@@ -77,8 +77,24 @@ def ensure_corpus_parquet(n_pages: int) -> str:
     return path
 
 
+#: the flagship's auto-switching stage thresholds; GRAFT_FORCE_DIST=1
+#: zeroes them all — the 100-TB configuration, where every dedup/winner/
+#: sort plan runs fully distributed regardless of corpus size
+_FORCE_DIST_VARS = (
+    "KGFORGE_DEDUP_JOIN_ROWS",
+    "KGFORGE_NEARDUP_DIST_ROWS",
+    "KGFORGE_DROP_APPLY_BROADCAST_ROWS",
+    "KGFORGE_MATERIALIZE_SORT_ROWS",
+)
+
+
 def run_bench(ncpu: int, sf_dir: str) -> dict:
     import ray
+
+    forced = bool(os.environ.get("GRAFT_FORCE_DIST"))
+    if forced:
+        for v in _FORCE_DIST_VARS:
+            os.environ.setdefault(v, "0")
 
     ray.init(
         address="local",
@@ -250,6 +266,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         "n_pages": n_pages,
         "n_triples": n_triples,
         "docs_per_sec": docs_per_sec,
+        "forced_distributed": forced,
         "extras": extras,
     }
 

@@ -94,7 +94,7 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     )
 
 
-def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000,
+def materialize_triples(linked_ds, small_sort_threshold: int | None = None,
                         quads_distinct: bool = True):
     """E6+E7+F1: linked triples → final distinct sorted graph
     (subj, pred, obj, n_sources, first_url).
@@ -115,8 +115,18 @@ def materialize_triples(linked_ds, small_sort_threshold: int = 1_000_000,
     threshold the distributed range sort runs as before. The 1M-row
     default bounds the driver gather at ~60 MB (5 short columns); a
     10^12-doc run has billions of partial rows and always takes the
-    distributed branch."""
+    distributed branch.  ``small_sort_threshold=None`` reads
+    KGFORGE_MATERIALIZE_SORT_ROWS (default 1M) so a deployment — or the
+    forced-distributed bench configuration — can flip the plan without
+    code changes."""
+    import os
+
     import ray
+
+    if small_sort_threshold is None:
+        small_sort_threshold = int(
+            os.environ.get("KGFORGE_MATERIALIZE_SORT_ROWS", 1_000_000)
+        )
 
     if not quads_distinct:
         from ray.data.aggregate import Count
