@@ -60,6 +60,46 @@ def drop_empty_blocks(ds):
     return mat
 
 
+#: inputs below this row count keep the floor partition count — Ray
+#: 2.49's hash join/aggregate operators carry a multi-second FIXED cost
+#: per partition in local mode, so small inputs want few partitions
+JOIN_SCALE_ROWS = 200_000
+
+
+def join_partitions(n_rows: int | None = None, floor: int = 8) -> int:
+    """Partition count for hash joins and hash shuffles.
+
+    Two forces pull in opposite directions: per-partition fixed cost
+    (Ray 2.49 joins/aggregates pay seconds of setup per partition, so
+    sf0.01-scale inputs want the floor) and DOWNSTREAM parallelism — a
+    join's output has exactly ``num_partitions`` blocks, and map stages
+    reading it schedule at most one task per block. The round-3 bench
+    showed the failure mode: an 8-partition exact-dedup join capped every
+    later stage of a 1.2M-doc flagship run at 8 of 32 cpus (the SvoLinker
+    stage alone went 17.6 s → 171 s). Above ``JOIN_SCALE_ROWS`` rows the
+    count scales to the cluster CPU count (capped at 64 — partitions are
+    parallelism, not data placement; at real cluster sizes the cap keeps
+    per-partition fixed costs bounded while 64-way block parallelism
+    saturates downstream map stages that split blocks into batches).
+
+    Override with ``KGFORGE_JOIN_PARTITIONS``; ``n_rows=None`` means
+    "unknown, assume large"."""
+    import os
+
+    env = os.environ.get("KGFORGE_JOIN_PARTITIONS")
+    if env:
+        return int(env)
+    if n_rows is not None and n_rows < JOIN_SCALE_ROWS:
+        return floor
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        cpus = floor
+    return max(floor, min(cpus, 64))
+
+
 def sever_plan(ds):
     """Rebuild a (materialized) Dataset from its raw Arrow block refs,
     discarding the logical plan.

@@ -277,12 +277,54 @@ def verified_pairs_from_docs(
 NEARDUP_DISTRIBUTED_ROWS = 5_000_000
 
 
+def _dup_band_hashes(bands) -> np.ndarray:
+    """Repeated band hashes via ONE range sort + vectorized segment scan.
+
+    ``groupby(band_h).aggregate(Count)`` pays Ray's per-group Python
+    overhead on ~16 nearly-all-singleton band rows per doc — measured
+    446 s at 1.2M docs / 19.2M band rows, the dominant wall of the whole
+    forced-distributed flagship. The replacement sorts the thin int64
+    band column (the same corpus-sized data movement the groupby's hash
+    shuffle paid) and finds repeats with numpy: within a contiguous
+    sorted segment, a repeat is an adjacent-equal compare; a hash
+    spanning two segments must be last-of-A == first-of-B (segments
+    partition the sorted order contiguously), so emitting each segment's
+    (first, last) hash with its in-segment count and summing counts per
+    boundary hash on the driver is EXACT. Scan output is ~2 rows per
+    block plus the true collisions — trivially driver-sized."""
+    sorted_h = bands.select_columns(["band_h"]).sort("band_h")
+
+    def scan(t: pa.Table) -> pa.Table:
+        h = t["band_h"].to_numpy()
+        if not len(h):
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        rep = np.unique(h[1:][h[1:] == h[:-1]])
+        hs = rep.tolist()
+        ns = [2] * len(rep)  # ">=2" marker; exact count not needed
+        for b in {int(h[0]), int(h[-1])}:
+            hs.append(b)
+            ns.append(int((h == b).sum()))
+        return pa.table({"h": pa.array(hs, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    # batch_size=None → whole sorted blocks = maximal contiguous segments
+    parts = sorted_h.map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not len(parts):
+        return np.array([], dtype=np.int64)
+    totals = parts.groupby("h")["n"].sum()
+    return np.sort(totals.index[totals.values >= 2].to_numpy(dtype=np.int64))
+
+
 def _pairs_ds_distributed(sig_ds):
     """Distributed candidate pairing: exploded (band_h, url) rows →
-    groupby(band_h) count>1 (the only corpus-sized shuffle; moves 16
-    int64s per doc) → per-bucket pair forming under the SHARED
-    bucket_pair_policy → Dataset(a, b). Only collision buckets ever reach
-    a Python group callable — singletons die in the count filter."""
+    repeated-hash detection via ``_dup_band_hashes`` (one thin-column
+    range sort — the only corpus-sized shuffle; moves 16 int64s per doc)
+    → per-bucket pair forming under the SHARED bucket_pair_policy →
+    Dataset(a, b). Only collision buckets ever reach a Python group
+    callable — singletons die in the broadcast hash filter."""
     from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
@@ -301,17 +343,9 @@ def _pairs_ds_distributed(sig_ds):
     bands = sig_ds.select_columns(["url_norm", "band_h"]).map_batches(
         explode, batch_format="pyarrow"
     ).materialize()
-    dup_h = (
-        bands.groupby("band_h")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_h"]),
-            batch_format="pyarrow",
-        )
-    )
     # collision hashes are the SMALL side (near-dups + rare collisions) —
     # broadcast them into the filter instead of a second corpus shuffle
-    dup_arr = np.sort(_flat_i64_col(dup_h, "band_h"))
+    dup_arr = _dup_band_hashes(bands)
     if not len(dup_arr):
         return None
     hits = bands.map_batches(
@@ -583,7 +617,7 @@ def apply_drop_ds(
     *,
     drop_key: str | None = None,
     strategy: str = "auto",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Anti-join ``docs_ds`` against a Dataset-valued drop side: keep
     the rows whose ``key_col`` is NOT in ``drop_ds``'s ``drop_key``
@@ -629,6 +663,11 @@ def apply_drop_ds(
     if strategy != "distributed":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    if num_partitions is None:
+        from ..rayutil import join_partitions
+
+        # the join moves O(drops); the drop count sizes its partitions
+        num_partitions = join_partitions(n_drop)
     bf = build_bloom(drop_ds, key_col, capacity=n_drop)
     words_ref = ray.put(bf.words)
     m, k = bf.m, bf.k

@@ -55,7 +55,7 @@ def _sort_key(t: pa.Table) -> pa.Array:
 EXACT_DEDUP_JOIN_ROWS = 50_000_000
 
 
-def exact_dedup_join(ds, num_partitions: int = 8):
+def exact_dedup_join(ds, num_partitions: int | None = None):
     """G2 scale path: keep the newest crawl per url_norm with NO driver
     materialization — a thin (url_norm, key) projection is aggregated to
     per-url max keys (shuffle moves keys only, never doc bodies), then a
@@ -83,11 +83,17 @@ def exact_dedup_join(ds, num_partitions: int = 8):
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
-    from ..rayutil import drop_empty_blocks
+    from ..rayutil import drop_empty_blocks, join_partitions
 
-    refs = ds.materialize().to_arrow_refs()
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
         return ds
+    if num_partitions is None:
+        # the join's output has exactly num_partitions blocks and this
+        # join feeds the WHOLE downstream pipeline — size it so later
+        # map stages aren't starved of blocks (rayutil.join_partitions)
+        num_partitions = join_partitions(mat.count())
     keyed = rd.from_arrow_refs([_key_block.remote(r, i) for i, r in enumerate(refs)])
     winners = (
         keyed.select_columns(["url_norm", "__dedup_key"])
