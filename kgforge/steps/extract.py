@@ -57,24 +57,36 @@ EXACT_DEDUP_JOIN_ROWS = 50_000_000
 
 def exact_dedup_join(ds, num_partitions: int | None = None):
     """G2 scale path: keep the newest crawl per url_norm with NO driver
-    materialization — a thin (url_norm, key) projection is aggregated to
-    per-url max keys (shuffle moves keys only, never doc bodies), then a
-    hash join brings the winner keys back to the full rows.
+    materialization and NO corpus-payload shuffle.
+
+    v2 plan (round 4 — profiled at 1.2M pages): the old plan hash-joined
+    per-url max keys back against the FULL rows, moving every document
+    body through the join (30.5 s) after a 1.2M-group Max aggregate
+    (11.7 s). The loser set is duplicate-rate-sized (~2% of rows for a
+    re-crawl corpus), so the replacement shuffles only thin columns: a
+    range sort of the (url_norm, __dedup_key) projection (~50 B/row),
+    a vectorized segment scan marking all-but-max-key rows per url (rows
+    of a segment's first/last url are resolved on the driver — a url
+    spanning two contiguous sorted segments is by construction the
+    last/first url of those segments, so the flagged rows are complete
+    and the resolution exact; per-url multiplicity is re-crawl-bounded),
+    then ``apply_drop_ds`` removes the losers — Bloom misses (~98%)
+    survive with no shuffle, hits anti-join O(losers).
 
     Ties (byte-identical rows — _sort_key includes the content sha) are
     broken by a per-row suffix appended to the key, so exactly ONE row
     survives per url_norm. The suffix must be (a) UNIQUE across the whole
     dataset — a content-derived tag collides for byte-identical BLOCKS
     (the re-ingested-dump case, the classic dedup input), leaving every
-    copy sharing the max key and the join keeping them all — and (b)
+    copy sharing the max key and surviving together — and (b)
     lineage-STABLE — a uuid per task re-rolls on Ray block
-    reconstruction, and the winners join then silently drops the
-    affected urls. A driver-enumerated block index satisfies both: the
-    materialized block list is fixed on the driver, and re-keying block
-    i from its (reconstructible) object ref reproduces the same keys."""
+    reconstruction and the loser keys then silently miss. A
+    driver-enumerated block index satisfies both: the materialized block
+    list is fixed on the driver, and re-keying block i from its
+    (reconstructible) object ref reproduces the same keys."""
+    import numpy as np
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max
 
     @ray.remote
     def _key_block(t: pa.Table, bid: int) -> pa.Table:
@@ -83,34 +95,81 @@ def exact_dedup_join(ds, num_partitions: int | None = None):
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 
-    from ..rayutil import drop_empty_blocks, join_partitions
+    from ..rayutil import drop_empty_blocks
+    from .dedup import apply_drop_ds
 
-    mat = ds.materialize()
-    refs = mat.to_arrow_refs()
+    refs = ds.materialize().to_arrow_refs()
     if not refs:
         return ds
-    if num_partitions is None:
-        # the join's output has exactly num_partitions blocks and this
-        # join feeds the WHOLE downstream pipeline — size it so later
-        # map stages aren't starved of blocks (rayutil.join_partitions)
-        num_partitions = join_partitions(mat.count())
     keyed = rd.from_arrow_refs([_key_block.remote(r, i) for i, r in enumerate(refs)])
-    winners = (
-        keyed.select_columns(["url_norm", "__dedup_key"])
-        .groupby("url_norm")
-        .aggregate(Max("__dedup_key", alias_name="__dedup_key"))
+    srt = keyed.select_columns(["url_norm", "__dedup_key"]).sort(
+        ["url_norm", "__dedup_key"]
     )
-    # hash-shuffle aggregates emit schema-less EMPTY blocks for empty
-    # partitions (Ray 2.49) and those blocks CRASH the acero hash join
-    # ("No match ... for key field reference") — pinning the dataset-level
-    # schema is not enough because map_batches never touches 0-row blocks;
-    # they must be physically removed (metadata-only filter, no fetch)
-    winners = drop_empty_blocks(winners)
-    out = keyed.join(
-        winners,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("url_norm", "__dedup_key"),
+
+    def scan(t: pa.Table) -> pa.Table:
+        u = t["url_norm"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if not n:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "url_norm": pa.array([], pa.string()),
+                    "__dedup_key": pa.array([], pa.string()),
+                }
+            )
+        boundary = (u == u[0]) | (u == u[-1])
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = u[:-1] == u[1:]
+        # interior urls are fully contained in this segment (a url
+        # crossing a segment edge IS the first/last url): keys sort
+        # ascending, so every row but the run's last is a loser
+        loser = ~boundary & same_next
+        lt = t.filter(pa.array(loser))
+        bt = t.filter(pa.array(boundary))
+        return pa.table(
+            {
+                "kind": pa.array(["l"] * lt.num_rows + ["b"] * bt.num_rows, pa.string()),
+                "url_norm": pa.concat_arrays(
+                    [lt["url_norm"].combine_chunks(), bt["url_norm"].combine_chunks()]
+                ),
+                "__dedup_key": pa.concat_arrays(
+                    [lt["__dedup_key"].combine_chunks(), bt["__dedup_key"].combine_chunks()]
+                ),
+            }
+        )
+
+    marked = srt.map_batches(scan, batch_format="pyarrow", batch_size=None).materialize()
+    interior = drop_empty_blocks(
+        marked.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "l")).select(["__dedup_key"]),
+            batch_format="pyarrow",
+        )
+    )
+    bdf = (
+        marked.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "b")).select(
+                ["url_norm", "__dedup_key"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    losers = interior
+    if len(bdf):
+        b_losers = bdf[
+            bdf.groupby("url_norm")["__dedup_key"].transform("max")
+            != bdf["__dedup_key"]
+        ]
+        if len(b_losers):
+            losers = losers.union(
+                rd.from_arrow(
+                    pa.table(
+                        {"__dedup_key": pa.array(b_losers["__dedup_key"], pa.string())}
+                    )
+                )
+            )
+    out = apply_drop_ds(
+        keyed, losers, key_col="__dedup_key", num_partitions=num_partitions
     )
     return out.drop_columns(["__dedup_key"])
 
