@@ -468,7 +468,8 @@ def _dup_h1_values(h1_ds, strategy: str) -> np.ndarray:
 
 
 def _paragraph_dedup_distributed(
-    ds, id_col: str, text_col: str, sep: str, cand_rows, num_partitions: int = 8
+    ds, id_col: str, text_col: str, sep: str, cand_rows,
+    num_partitions: int | None = None,
 ):
     """Distributed winner resolution + application for paragraph dedup
     (VERDICT r2 item 2): candidate paragraph rows stay a Dataset; the
@@ -480,8 +481,10 @@ def _paragraph_dedup_distributed(
     the winner map never lands on the driver."""
     from .analytic import ListAgg
     from .bloom import build_bloom
-    from .rayutil import drop_empty_blocks
+    from .rayutil import drop_empty_blocks, join_partitions
 
+    if num_partitions is None:
+        num_partitions = join_partitions()
     # three consumers below (cand scan, clean branch, maybe branch) —
     # materialize once so a LAZY caller's upstream lineage doesn't
     # re-execute per consumer (same shape as _exact_filter_distributed)
@@ -886,7 +889,7 @@ def _exact_filter_distributed(
 
 def exact_dedup_filter(
     ds, id_col: str = "doc_id", text_col: str = "text", *, strategy: str = "auto",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Filtering form of exact dedup: keep exactly ONE row (min id) per
     distinct text, streaming the rest out — the form a curation pipeline
@@ -924,8 +927,11 @@ def exact_dedup_filter(
     if not len(dup_sorted):
         return ds
     if strategy == "distributed":
+        from .rayutil import join_partitions
+
         return _exact_filter_distributed(
-            ds, id_col, text_col, dup_sorted, h41, h97, num_partitions
+            ds, id_col, text_col, dup_sorted, h41, h97,
+            join_partitions() if num_partitions is None else num_partitions,
         )
 
     _dup = dup_sorted
@@ -1041,7 +1047,7 @@ def incremental_dedup_filter(
     text_col: str = "text",
     fpp: float = 0.01,
     strategy: str = "auto",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Drop NEW docs whose content already exists in an ingested corpus
     (the daily-shard op: never re-deduplicate the whole 100 TB corpus).
@@ -1100,6 +1106,10 @@ def incremental_dedup_filter(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "distributed":
+        if num_partitions is None:
+            from .rayutil import join_partitions
+
+            num_partitions = join_partitions(n_cand)
         # distinct candidate keys, renamed to the index's column names
         cand_keys = drop_empty_blocks(
             candidates.select_columns(["__h1", "__h2"])

@@ -304,7 +304,7 @@ def smart_join(
     *,
     right_on: str | Sequence[str] | None = None,
     how: str = "inner",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     suffix: str = "_r",
     strategy: str = "auto",
 ) -> Dataset:
@@ -399,12 +399,15 @@ def smart_join(
 
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
-    from kgforge.rayutil import drop_empty_blocks
+    from kgforge.rayutil import drop_empty_blocks, join_partitions
 
     joined = left.join(
         right,
         join_type="inner" if how == "inner" else "left_outer",
-        num_partitions=num_partitions,
+        # None → adaptive: floor 8 at small scale (per-partition fixed
+        # cost), cluster-CPU-scaled above (join output blocks bound
+        # downstream map parallelism); n unknown without a count probe
+        num_partitions=join_partitions() if num_partitions is None else num_partitions,
         on=tuple(left_keys),
         right_on=tuple(right_keys) if right_on is not None else None,
         left_suffix="",

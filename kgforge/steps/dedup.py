@@ -451,7 +451,15 @@ def _verify_pairs_ds(pairs_ds, docs_ds, threshold: float):
     # the acero key-reference landmine; the materialize this implies is
     # candidates-sized (post bloom filter), not corpus-sized
     packed = drop_empty_blocks(docs_cand.map_batches(pack, batch_format="pyarrow"))
-    j = ex.join(packed, join_type="inner", num_partitions=8, on=("url_norm",))
+    from ..rayutil import join_partitions
+
+    # ex is materialized (drop_empty_blocks) — count is metadata-only
+    j = ex.join(
+        packed,
+        join_type="inner",
+        num_partitions=join_partitions(ex.count()),
+        on=("url_norm",),
+    )
 
     def verify_group(g: pa.Table) -> pa.Table:
         empty = pa.table(
