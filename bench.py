@@ -85,6 +85,8 @@ _FORCE_DIST_VARS = (
     "KGFORGE_NEARDUP_DIST_ROWS",
     "KGFORGE_DROP_APPLY_BROADCAST_ROWS",
     "KGFORGE_MATERIALIZE_SORT_ROWS",
+    "KGFORGE_CONTENT_DEDUP_DIST_ROWS",
+    "KGFORGE_INC_DEDUP_DIST_ROWS",
 )
 
 

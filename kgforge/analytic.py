@@ -652,7 +652,11 @@ def _set_reaggs(aggs: Sequence[dict]):
 
 
 def _grouping_sets_distributed(
-    base_ds: Dataset, keys: list[str], sets: Sequence[Sequence[str]], aggs: list[dict]
+    base_ds: Dataset,
+    keys: list[str],
+    sets: Sequence[Sequence[str]],
+    aggs: list[dict],
+    in_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Over-cap plan: each grouping set is one small in-cluster groupby
     over the finest-grain partials (already ≤ finest-group cardinality),
@@ -662,15 +666,37 @@ def _grouping_sets_distributed(
     partial's type, sum/mean/var/std → float64."""
     import ray.data as rd
 
-    base_schema: pa.Schema = base_ds.schema().base_schema
+    # an EMPTY finest aggregate is schema-less in Ray 2.49 — fall back to
+    # the INPUT schema for key/min/max types (and float64 as a last
+    # resort, matching _collect_base's empty-frame dtype)
+    base_schema: pa.Schema | None = None
+    try:
+        sch = base_ds.schema(fetch_if_missing=True)
+        base_schema = getattr(sch, "base_schema", None)
+        if base_schema is not None and not isinstance(base_schema, pa.Schema):
+            base_schema = None
+    except Exception:
+        base_schema = None
+
+    def _ftype(name: str, fallback_col: str | None) -> pa.DataType:
+        if base_schema is not None and name in base_schema.names:
+            return base_schema.field(name).type
+        if (
+            in_schema is not None
+            and fallback_col is not None
+            and fallback_col in in_schema.names
+        ):
+            return in_schema.field(fallback_col).type
+        return pa.float64()
+
     outs = [a["out"] for a in aggs]
-    fields = [pa.field(k, base_schema.field(k).type) for k in keys]
+    fields = [pa.field(k, _ftype(k, k)) for k in keys]
     for a in aggs:
         fn, out = a["fn"], a["out"]
         if fn == "count":
             fields.append(pa.field(out, pa.int64()))
         elif fn in ("min", "max"):
-            fields.append(pa.field(out, base_schema.field(f"__{fn}_{out}").type))
+            fields.append(pa.field(out, _ftype(f"__{fn}_{out}", a.get("col"))))
         else:
             fields.append(pa.field(out, pa.float64()))
     fields.append(pa.field("grouping_id", pa.int64()))
@@ -690,6 +716,8 @@ def _grouping_sets_distributed(
 
         return fin
 
+    from .rayutil import drop_empty_blocks
+
     parts: list[Dataset] = []
     for s in sets:
         sub = [k for k in keys if k in set(s)]  # canonical key order
@@ -698,11 +726,36 @@ def _grouping_sets_distributed(
             agg = base_ds.groupby(sub[0] if len(sub) == 1 else sub).aggregate(
                 *_set_reaggs(aggs)
             )
-            parts.append(agg.map_batches(make_fin(sub, gid), batch_format="pandas"))
+            # map_batches never touches 0-row blocks, so empty partitions'
+            # partial-schema blocks would bypass the pinned target cast
+            # and poison the union for downstream acero consumers
+            parts.append(
+                drop_empty_blocks(
+                    agg.map_batches(make_fin(sub, gid), batch_format="pandas")
+                )
+            )
         else:
-            # grand total: one global aggregate → a single driver row
+            # grand total: one global aggregate → a single driver row.
+            # Empty input returns None: SQL's grand total over an empty
+            # table is count=0 (not NULL), every other agg NULL.
             row = base_ds.aggregate(*_set_reaggs(aggs)) or {}
-            frame = pd.DataFrame([{k: row.get(k) for k in _partial_names(aggs)}])
+            # Ray returns None (or a dict of None values) for an empty
+            # aggregate — count partials coalesce to 0, the rest stay NULL
+            frame = pd.DataFrame(
+                [
+                    {
+                        k: (
+                            row.get(k)
+                            if row.get(k) is not None
+                            # NaN, not None: keeps the partial columns
+                            # float-dtyped so mean/var finalize divides
+                            # instead of crashing on object-dtype None
+                            else (0 if k.startswith("__cnt_") else np.nan)
+                        )
+                        for k in _partial_names(aggs)
+                    }
+                ]
+            )
             parts.append(rd.from_arrow(make_fin([], gid)(frame)))
     out = parts[0]
     if len(parts) > 1:
@@ -750,13 +803,23 @@ def grouping_sets(
     # on the distributed path (and count() + to_pandas on the driver
     # path) — without it the upstream lineage would re-execute per set
     base_ds = _finest_aggregate_ds(ds, keys, aggs).materialize()
+
+    def _in_schema() -> pa.Schema | None:
+        try:
+            s = getattr(ds.schema(fetch_if_missing=True), "base_schema", None)
+            return s if isinstance(s, pa.Schema) else None
+        except Exception:
+            return None
+
     if output == "dataset":
-        return _grouping_sets_distributed(base_ds, keys, sets, aggs)
+        return _grouping_sets_distributed(base_ds, keys, sets, aggs, _in_schema())
     import os
 
     cap = int(os.environ.get("KGFORGE_GROUPING_FINEST_CAP", GROUPING_FINEST_CAP))
     if base_ds.count() > cap:
-        return _grouping_sets_distributed(base_ds, keys, sets, aggs).to_pandas()
+        return _grouping_sets_distributed(
+            base_ds, keys, sets, aggs, _in_schema()
+        ).to_pandas()
     base = _collect_base(base_ds, keys, aggs)
     out_frames = []
     for s in sets:

@@ -59,21 +59,27 @@ def _write_parquet_always(ds, path: str, fallback_schema) -> None:
 
 
 def _atomic_write_always(ds, final_dir: str, fallback_schema) -> None:
-    """_write_parquet_always staged into a tmp sibling then renamed —
-    a killed stage-A partition leaves only a .tmp dir the resumed run
-    deletes; the ledger row is written AFTER the rename, so a row
-    existing implies the data is fully published."""
-    import shutil
+    """_write_parquet_always staged through steps/ledger.py's atomic
+    publish sequence — a killed stage-A partition leaves only a .tmp dir
+    the resumed run deletes; the ledger row is written AFTER the rename,
+    so a row existing implies the data is fully published."""
+    from kgforge.steps.ledger import atomic_write_parquet
 
-    parent = os.path.dirname(final_dir.rstrip("/"))
-    os.makedirs(parent, exist_ok=True)
-    tmp = final_dir.rstrip("/") + f".tmp-{os.getpid()}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    _write_parquet_always(ds, tmp, fallback_schema)
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.replace(tmp, final_dir)
+    atomic_write_parquet(
+        ds, final_dir, writer=lambda d, tmp: _write_parquet_always(d, tmp, fallback_schema)
+    )
+
+
+def _group_fp(group: list[str]) -> str:
+    """Fingerprint of a partition's exact input-file list. A resume only
+    trusts a ledger row whose fingerprint matches the CURRENT grouping:
+    new files landing in the input dir (the daily-shard case) or a
+    different --partitions K silently remap every pid to a different
+    file set, and a stale checkpoint would then stand in for the wrong
+    inputs — dropped or double-ingested docs with no error."""
+    import hashlib
+
+    return hashlib.blake2b("\n".join(group).encode(), digest_size=8).hexdigest()
 
 
 def _input_files(pattern: str) -> list[str]:
@@ -89,9 +95,10 @@ def _input_files(pattern: str) -> list[str]:
     return sorted(_glob.glob(pattern))
 
 
-def _filter_partitions(args, files: list[str]) -> str:
+def _filter_partitions(args, files: list[str]) -> tuple[str, list[list[str]]]:
     """Stage A: per-partition lang+quality filter with ledger resume.
-    Returns the directory the checkpointed survivors live under."""
+    Returns the directory the checkpointed survivors live under and the
+    input-file groups (for the ledger roll-up in main)."""
     import glob as _glob
     import time
 
@@ -100,9 +107,9 @@ def _filter_partitions(args, files: list[str]) -> str:
 
     from kgforge.pipelines.curation import lang_quality_filter
     from kgforge.steps.ledger import (
-        completed_partitions,
         current_epoch,
         ledger_row,
+        read_ledger,
         write_ledger_row,
     )
 
@@ -110,7 +117,23 @@ def _filter_partitions(args, files: list[str]) -> str:
     k = min(args.partitions, len(files))
     step = (len(files) + k - 1) // k
     groups = [files[i : i + step] for i in range(0, len(files), step)]
-    done = completed_partitions(out, "filtered") if args.resume else set()
+    # resume trusts a pid ONLY if its recorded file-group fingerprint
+    # matches the current grouping; a changed input file list (or a
+    # different K) re-runs the remapped partitions instead of silently
+    # substituting a checkpoint built from different files
+    done: set[int] = set()
+    if args.resume:
+        led = read_ledger(out)
+        if led is not None:
+            recorded: dict[int, str] = {}
+            for r in led.sort_by("epoch").to_pylist():
+                if r["status"] == "filtered" and r["partition_id"] >= 0:
+                    recorded[int(r["partition_id"])] = r.get("group_fp") or ""
+            done = {
+                pid
+                for pid, group in enumerate(groups)
+                if recorded.get(pid) == _group_fp(group)
+            }
     epoch = (current_epoch(out) + 1) if args.resume else 1
     langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
     fdir = os.path.join(out, "filtered")
@@ -144,10 +167,33 @@ def _filter_partitions(args, files: list[str]) -> str:
         write_ledger_row(
             out,
             ledger_row(pid, group[0], group[-1], epoch, n_in, n_kept, -1,
-                       "filtered", time.monotonic() - t0),
+                       "filtered", time.monotonic() - t0,
+                       group_fp=_group_fp(group)),
             f"part-{pid}",
         )
-    return fdir
+    return fdir, groups
+
+
+def _stage_a_totals(out: str, groups: list[list[str]]) -> tuple[int, int]:
+    """(input_docs, survivors) for stage A, rolled up from the ledger
+    rows of the CURRENT grouping — the true shard attrition even when
+    stage B only saw the checkpointed survivors."""
+    from kgforge.steps.ledger import read_ledger
+
+    led = read_ledger(out)
+    fps = {pid: _group_fp(g) for pid, g in enumerate(groups)}
+    if led is None:
+        return 0, 0
+    latest: dict[int, dict] = {}  # latest epoch wins per pid
+    for r in led.to_pylist():
+        pid = int(r["partition_id"])
+        if r["status"] == "filtered" and fps.get(pid) == (r.get("group_fp") or ""):
+            cur = latest.get(pid)
+            if cur is None or r["epoch"] >= cur["epoch"]:
+                latest[pid] = r
+    n_in = sum(int(r["n_pages"]) for r in latest.values())
+    n_kept = sum(int(r["n_docs"]) for r in latest.values())
+    return n_in, n_kept
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -192,7 +238,7 @@ def main(argv: list[str] | None = None) -> None:
         if not files:
             raise SystemExit(f"no parquet files match {args.input}")
         os.makedirs(args.out, exist_ok=True)
-        fdir = _filter_partitions(args, files)
+        fdir, groups = _filter_partitions(args, files)
         # stage B consumes the checkpointed, already-filtered survivors
         in_ds = rd.read_parquet(fdir)
         skip_filters = True
@@ -243,6 +289,12 @@ def main(argv: list[str] | None = None) -> None:
             "summary-curated",
         )
         res.stats["checkpoint_partitions"] = args.partitions
+        # stage B only saw the checkpointed survivors, so curate_corpus's
+        # input_docs/after_lang_quality reflect the post-filter count;
+        # the true shard attrition lives in the stage-A ledger rows
+        n_in, n_kept = _stage_a_totals(args.out, groups)
+        res.stats["input_docs"] = n_in
+        res.stats["after_lang_quality"] = n_kept
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(res.stats, f, indent=1, sort_keys=True)
     print(json.dumps(res.stats, sort_keys=True))

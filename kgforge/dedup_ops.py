@@ -1193,21 +1193,30 @@ def incremental_dedup_filter(
         )
         return clean.union(survivors)
 
-    # ONE driver gather (VERDICT r3 #7 — was two sequential gathers): the
-    # candidate h1s screen the index via an IN-CLUSTER Bloom instead of a
-    # gathered value set, and only the screened index keys (true matches
-    # + ~fpp false positives) stream back, once. The keep filter below
-    # tests exact (h1, h2) membership, so a Bloom false positive in the
-    # broadcast set can never drop a doc whose pair isn't in the index.
-    cbf = build_bloom(candidates, "__h1", capacity=max(n_cand, 1), fpp=fpp)
+    # Driver plan: one CANDIDATE-sized gather builds the exact h1 value
+    # set (small — the strategy gate bounds n_cand at a shard's re-post
+    # rate), the index is screened IN-CLUSTER with exact is_in, and only
+    # exactly-matching index rows stream back (O(true dups)).  A Bloom
+    # screen here would instead pass ~fpp × |index| false-positive rows
+    # to the driver — a cost that scales with the 100-TB corpus index,
+    # not with the shard.
+    cand_pd = candidates.select_columns(["__h1", "__h2"]).to_pandas()
+    cand_pairs = set(zip(cand_pd["__h1"], cand_pd["__h2"]))
+    h1_ref = ray.put(pa.array(sorted({int(a) for a, _ in cand_pairs}), pa.int64()))
+
+    def touch(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["h1"], value_set=ray.get(h1_ref)))
+
     known_touch = (
-        bloom_semi_filter(known_hashes, "h1", cbf)
-        .select_columns(["h1", "h2"])
+        known_hashes.select_columns(["h1", "h2"])
+        .map_batches(touch, batch_format="pyarrow")
         .to_pandas()
     )
-    # a fully-filtered Dataset can come back as a column-less frame
+    # a fully-filtered Dataset can come back as a column-less frame;
+    # confirm exact (h1, h2) membership so an h1-only collision between
+    # a novel doc and the index can never drop the doc
     dup_keys = (
-        set(zip(known_touch["h1"], known_touch["h2"]))
+        set(zip(known_touch["h1"], known_touch["h2"])) & cand_pairs
         if len(known_touch)
         else set()
     )

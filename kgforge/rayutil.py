@@ -88,7 +88,13 @@ def join_partitions(n_rows: int | None = None, floor: int = 8) -> int:
 
     env = os.environ.get("KGFORGE_JOIN_PARTITIONS")
     if env:
-        return int(env)
+        # ``0`` is the repo-wide "force the other plan" convention on the
+        # KGFORGE_*_ROWS thresholds; there is no other plan here, so a
+        # non-positive override falls through to the computed count
+        # instead of handing Ray an invalid num_partitions.
+        v = int(env)
+        if v > 0:
+            return v
     if n_rows is not None and n_rows < JOIN_SCALE_ROWS:
         return floor
     try:

@@ -87,6 +87,10 @@ LEDGER = pa.schema(
         ("status", pa.string()),
         ("wall_s", pa.float64()),
         ("engine_version", pa.string()),
+        # fingerprint of the partition's exact input-file group; a resume
+        # only trusts a ledger row whose fingerprint matches the current
+        # grouping (file lists change between runs — see curate.py)
+        ("group_fp", pa.string()),
     ]
 )
 

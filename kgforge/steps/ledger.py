@@ -33,6 +33,7 @@ def ledger_row(
     n_triples: int,
     status: str,
     wall_s: float,
+    group_fp: str = "",
 ) -> pa.Table:
     return pa.table(
         {
@@ -46,6 +47,7 @@ def ledger_row(
             "status": pa.array([status], pa.string()),
             "wall_s": pa.array([wall_s], pa.float64()),
             "engine_version": pa.array([ENGINE_VERSION], pa.string()),
+            "group_fp": pa.array([group_fp], pa.string()),
         },
         schema=LEDGER,
     )
@@ -68,7 +70,11 @@ def read_ledger(out_dir: str) -> pa.Table | None:
     )
     if not files:
         return None
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    # promote: ledgers written before the group_fp column gained it read
+    # back with nulls instead of a concat schema error
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
 
 
 def completed_partitions(out_dir: str, status: str = "docs") -> set[int]:
@@ -89,10 +95,15 @@ def current_epoch(out_dir: str) -> int:
     return max(int(r["epoch"]) for r in t.to_pylist())
 
 
-def atomic_write_parquet(ds, final_dir: str) -> None:
+def atomic_write_parquet(ds, final_dir: str, writer=None) -> None:
     """Write a Dataset to ``final_dir`` atomically: stage into a sibling
     tmp dir, then rename. A crashed write leaves only a .tmp dir a resumed
-    run ignores and overwrites."""
+    run ignores and overwrites.
+
+    This is the ONE copy of the crash-safety-critical publish sequence;
+    callers that need a different physical write (e.g. curate.py's
+    empty-dataset fallback) pass ``writer(ds, tmp_dir)`` instead of
+    re-implementing the staging protocol."""
     parent = os.path.dirname(final_dir.rstrip("/"))
     os.makedirs(parent, exist_ok=True)
     tmp = final_dir.rstrip("/") + f".tmp-{os.getpid()}"
@@ -100,7 +111,10 @@ def atomic_write_parquet(ds, final_dir: str) -> None:
 
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ds.write_parquet(tmp)
+    if writer is None:
+        ds.write_parquet(tmp)
+    else:
+        writer(ds, tmp)
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp, final_dir)

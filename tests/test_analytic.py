@@ -745,3 +745,41 @@ def test_rollup_output_dataset(ray_session):
     assert isinstance(out, rd.Dataset)
     got = _norm_gid(out.to_pandas())
     _assert_frames_equal(got, driver, {"qty": 2})
+
+
+def test_rollup_empty_input_dataset_output(ray_session):
+    """Empty input — including the schema-less filtered-to-empty case
+    (Ray 2.49 loses block schemas when every block is 0 rows) — must
+    emit the SQL grand-total row (count=0, every other agg NULL) on
+    BOTH plans, and the per-set empty blocks must not leak past the
+    pinned output schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    aggs = [
+        {"fn": "count", "out": "n"},
+        {"fn": "sum", "col": "v", "out": "s"},
+        {"fn": "mean", "col": "v", "out": "m"},
+        {"fn": "min", "col": "v", "out": "lo"},
+        {"fn": "std", "col": "v", "out": "sd"},
+    ]
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    filtered = (
+        rd.range(10)
+        .map_batches(
+            lambda t: pa.table({"k": pa.array(["a"] * t.num_rows), "v": t["id"]}),
+            batch_format="pyarrow",
+        )
+        .filter(lambda r: False)
+    )
+    for src in (empty, filtered):
+        driver = rollup(src, ["k"], aggs)
+        got = rollup(src, ["k"], aggs, output="dataset").to_pandas()
+        for frame in (driver, got):
+            assert len(frame) == 1
+            row = frame.iloc[0]
+            assert row["n"] == 0 and int(row["grouping_id"]) == 1
+            for c in ("s", "m", "lo", "sd"):
+                assert pd.isna(row[c])

@@ -381,3 +381,52 @@ def test_curate_cli_checkpointed_partitions_and_resume(ray_session, tmp_path):
     # resumed global stage consumed the (tampered) checkpoint: docs shrink
     n_after = pq.read_table(str(out / "docs")).num_rows
     assert n_after < len(a)
+
+
+def test_curate_cli_resume_revalidates_changed_file_groups(ray_session, tmp_path):
+    """--resume must not trust a checkpoint whose input-file group
+    changed: new parquet files landing in the input dir (the daily-shard
+    case) remap every partition, so the ledger fingerprints mismatch and
+    the remapped partitions re-run — the new docs are ingested instead
+    of being silently dropped behind a stale checkpoint."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    quarters = [docs.iloc[i::4] for i in range(4)]
+    for i, q in enumerate(quarters):
+        pq.write_table(
+            pa.Table.from_pandas(q, preserve_index=False), str(indir / f"f{i}.parquet")
+        )
+    out = tmp_path / "out"
+    args = ["--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack"]
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "2"])
+    n_first = pq.read_table(str(out / "docs")).num_rows
+
+    # two NEW files of good english docs land in the input dir
+    extra = pd.DataFrame(
+        [(300 + i, f"{HEADER}\n\n{_en_body(50 + i)}\n\n{FOOTER}") for i in range(8)],
+        columns=["doc_id", "text"],
+    )
+    pq.write_table(pa.Table.from_pandas(extra.iloc[:4], preserve_index=False),
+                   str(indir / "g0.parquet"))
+    pq.write_table(pa.Table.from_pandas(extra.iloc[4:], preserve_index=False),
+                   str(indir / "g1.parquet"))
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "2", "--resume"])
+
+    got = pq.read_table(str(out / "docs")).to_pandas()
+    # every new doc survived into the curated output
+    assert set(extra["doc_id"]) <= set(got["doc_id"])
+    assert len(got) == n_first + len(extra)
+    # stats reflect the TRUE shard input, rolled up from the stage-A
+    # ledger rows of the current grouping (not the post-filter count)
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["input_docs"] == len(docs) + len(extra)
+    assert stats["after_lang_quality"] < stats["input_docs"]

@@ -154,3 +154,18 @@ def test_flagship_forced_distributed_neardup_matches_default(docs, monkeypatch):
         base[cols].sort_values(cols, ignore_index=True),
         dist[cols].sort_values(cols, ignore_index=True),
     )
+
+
+def test_join_partitions_env_override_guards_nonpositive(monkeypatch):
+    """'0' is the repo-wide force-the-other-plan convention on the
+    KGFORGE_*_ROWS thresholds; join_partitions has no other plan, so a
+    non-positive override must fall through to the computed count
+    instead of handing Ray an invalid num_partitions."""
+    from kgforge.rayutil import join_partitions
+
+    monkeypatch.setenv("KGFORGE_JOIN_PARTITIONS", "0")
+    assert join_partitions(10) >= 1
+    monkeypatch.setenv("KGFORGE_JOIN_PARTITIONS", "-4")
+    assert join_partitions(10) >= 1
+    monkeypatch.setenv("KGFORGE_JOIN_PARTITIONS", "12")
+    assert join_partitions(10) == 12
