@@ -129,17 +129,36 @@ def recompute_sigs(docs_ds, cand_ids: list[str], id_col: str = "url_norm",
         t2 = pa.table({"url_norm": ids, "extracted_text": t[text_col]}).filter(m)
         return _sig_rows(t2, include_sig=True).select(["url_norm", "sig"])
 
-    sig_of: dict[str, np.ndarray] = {}
     cand = docs_ds.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pyarrow"
     )
-    for b in cand.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
-            arr = np.asarray(s, dtype=np.int64)
-            # duplicate ids (caller skipped exact dedup): min-by-bytes pick,
-            # deterministic regardless of block arrival order
-            if u not in sig_of or arr.tobytes() < sig_of[u].tobytes():
-                sig_of[u] = arr
+    return _gather_sigs(cand)
+
+
+def _gather_sigs(sig_rows_ds) -> dict[str, np.ndarray]:
+    """(url_norm, sig) Dataset → {url: sig array} on the driver.
+
+    One matrix view per BATCH (fixed-size-list column → flat int64 →
+    reshape), not a Python list per ROW: the per-row
+    ``to_pylist``/``np.asarray`` form measured ~5 s of driver-serial
+    time for 75k candidate signatures at the 1.2M-page bench — the
+    single largest non-width-scaling term in the 8→32 leg.  Duplicate
+    ids (caller skipped exact dedup) resolve min-by-bytes,
+    deterministic regardless of block arrival order — the same rule
+    ``_verify_pairs_ds`` applies."""
+    sig_of: dict[str, np.ndarray] = {}
+    for b in sig_rows_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        n = b.num_rows
+        if not n:
+            continue
+        urls = b["url_norm"].to_pylist()
+        mat = _flat_i64(b["sig"]).reshape(n, -1)
+        for i, u in enumerate(urls):
+            prev = sig_of.get(u)
+            if prev is None:
+                sig_of[u] = mat[i]
+            elif mat[i].tobytes() < prev.tobytes():
+                sig_of[u] = mat[i]
     return sig_of
 
 
@@ -215,20 +234,13 @@ def candidate_pairs(sig_ds) -> set[tuple[str, str]]:
 def fetch_sigs(sig_ds, cand_ids: list[str]) -> dict[str, np.ndarray]:
     """Broadcast semi-join: signatures of the candidate ids only."""
     id_arr = pa.array(cand_ids, pa.string())
-    sig_of: dict[str, np.ndarray] = {}
     cand_sigs = sig_ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["url_norm"], value_set=id_arr)),
+        lambda t: t.filter(pc.is_in(t["url_norm"], value_set=id_arr)).select(
+            ["url_norm", "sig"]
+        ),
         batch_format="pyarrow",
     )
-    for b in cand_sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for u, s in zip(b["url_norm"].to_pylist(), b["sig"].to_pylist()):
-            arr = np.asarray(s, dtype=np.int64)
-            # duplicate ids (caller skipped exact dedup): min-by-bytes pick,
-            # deterministic regardless of block arrival order — the same
-            # rule recompute_sigs and _verify_pairs_ds apply
-            if u not in sig_of or arr.tobytes() < sig_of[u].tobytes():
-                sig_of[u] = arr
-    return sig_of
+    return _gather_sigs(cand_sigs)
 
 
 def verified_pairs(sig_ds, threshold: float = NEARDUP_JACCARD) -> list[tuple[str, str, float]]:
