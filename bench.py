@@ -93,7 +93,10 @@ _FORCE_DIST_VARS = (
 def run_bench(ncpu: int, sf_dir: str) -> dict:
     import ray
 
-    forced = bool(os.environ.get("GRAFT_FORCE_DIST"))
+    forced = (
+        os.environ.get("GRAFT_FORCE_DIST", "").strip().lower()
+        in ("1", "true", "yes", "on")
+    )
     if forced:
         for v in _FORCE_DIST_VARS:
             os.environ.setdefault(v, "0")

@@ -70,16 +70,41 @@ def _atomic_write_always(ds, final_dir: str, fallback_schema) -> None:
     )
 
 
-def _group_fp(group: list[str]) -> str:
-    """Fingerprint of a partition's exact input-file list. A resume only
-    trusts a ledger row whose fingerprint matches the CURRENT grouping:
-    new files landing in the input dir (the daily-shard case) or a
-    different --partitions K silently remap every pid to a different
-    file set, and a stale checkpoint would then stand in for the wrong
-    inputs — dropped or double-ingested docs with no error."""
+def _group_fp(group: list[str], params: str = "") -> str:
+    """Fingerprint of a partition's exact input-file list AND the stage-A
+    filter parameters. A resume only trusts a ledger row whose
+    fingerprint matches the CURRENT grouping + settings: new files
+    landing in the input dir (the daily-shard case), a different
+    --partitions K, or a re-run with a different --min-quality/--langs
+    would otherwise silently substitute a checkpoint built from the
+    wrong inputs or the wrong thresholds — dropped, double-ingested, or
+    under-filtered docs with no error."""
     import hashlib
 
-    return hashlib.blake2b("\n".join(group).encode(), digest_size=8).hexdigest()
+    payload = "\n".join(group) + "\0" + params
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def _fp_params(args) -> str:
+    """The stage-A settings that change what a checkpoint contains."""
+    langs = ",".join(sorted(s.strip() for s in args.langs.split(",") if s.strip()))
+    return f"{args.id_col}|{args.text_col}|{langs}|{args.min_quality!r}"
+
+
+def _id_type(files: list[str], id_col: str):
+    """The id column's Arrow type from the input files' parquet schema —
+    empty-partition fallback schemas must match the real dtype (a
+    hardcoded int64 next to string-id parts fails schema unification
+    when stage B reads the filtered directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in files[:8]:
+        try:
+            return pq.ParquetFile(f).schema_arrow.field(id_col).type
+        except Exception:
+            continue
+    return pa.int64()
 
 
 def _input_files(pattern: str) -> list[str]:
@@ -99,7 +124,6 @@ def _filter_partitions(args, files: list[str]) -> tuple[str, list[list[str]]]:
     """Stage A: per-partition lang+quality filter with ledger resume.
     Returns the directory the checkpointed survivors live under and the
     input-file groups (for the ledger roll-up in main)."""
-    import glob as _glob
     import time
 
     import pyarrow as pa
@@ -122,6 +146,7 @@ def _filter_partitions(args, files: list[str]) -> tuple[str, list[list[str]]]:
     # different K) re-runs the remapped partitions instead of silently
     # substituting a checkpoint built from different files
     done: set[int] = set()
+    fp_params = _fp_params(args)
     if args.resume:
         led = read_ledger(out)
         if led is not None:
@@ -132,20 +157,36 @@ def _filter_partitions(args, files: list[str]) -> tuple[str, list[list[str]]]:
             done = {
                 pid
                 for pid, group in enumerate(groups)
-                if recorded.get(pid) == _group_fp(group)
+                if recorded.get(pid) == _group_fp(group, fp_params)
             }
     epoch = (current_epoch(out) + 1) if args.resume else 1
     langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
     fdir = os.path.join(out, "filtered")
-    schema = pa.schema([(args.id_col, pa.int64()), (args.text_col, pa.string())])
+    schema = pa.schema(
+        [(args.id_col, _id_type(files, args.id_col)), (args.text_col, pa.string())]
+    )
+    import shutil
+
+    # sweep debris and stale checkpoints BEFORE the resume skip: crashed
+    # .tmp dirs of now-done pids and part-K dirs from a previous run
+    # with more partitions must not survive next to live data
+    if os.path.isdir(fdir):
+        for name in os.listdir(fdir):
+            full = os.path.join(fdir, name)
+            stale = False
+            if ".tmp-" in name:
+                stale = True
+            elif name.startswith("part-"):
+                try:
+                    stale = int(name[5:]) >= len(groups)
+                except ValueError:
+                    stale = True
+            if stale:
+                shutil.rmtree(full, ignore_errors=True)
     for pid, group in enumerate(groups):
         part_dir = os.path.join(fdir, f"part-{pid}")
         if pid in done:
             continue
-        for debris in _glob.glob(part_dir + ".tmp-*"):
-            import shutil
-
-            shutil.rmtree(debris, ignore_errors=True)
         t0 = time.monotonic()
         ds_p = rd.read_parquet(group)
         n_in = ds_p.count()
@@ -168,20 +209,22 @@ def _filter_partitions(args, files: list[str]) -> tuple[str, list[list[str]]]:
             out,
             ledger_row(pid, group[0], group[-1], epoch, n_in, n_kept, -1,
                        "filtered", time.monotonic() - t0,
-                       group_fp=_group_fp(group)),
+                       group_fp=_group_fp(group, fp_params)),
             f"part-{pid}",
         )
     return fdir, groups
 
 
-def _stage_a_totals(out: str, groups: list[list[str]]) -> tuple[int, int]:
+def _stage_a_totals(
+    out: str, groups: list[list[str]], fp_params: str
+) -> tuple[int, int]:
     """(input_docs, survivors) for stage A, rolled up from the ledger
     rows of the CURRENT grouping — the true shard attrition even when
     stage B only saw the checkpointed survivors."""
     from kgforge.steps.ledger import read_ledger
 
     led = read_ledger(out)
-    fps = {pid: _group_fp(g) for pid, g in enumerate(groups)}
+    fps = {pid: _group_fp(g, fp_params) for pid, g in enumerate(groups)}
     if led is None:
         return 0, 0
     latest: dict[int, dict] = {}  # latest epoch wins per pid
@@ -233,14 +276,25 @@ def main(argv: list[str] | None = None) -> None:
 
     known = rd.read_parquet(args.known_index) if args.known_index else None
     skip_filters = False
+    files = _input_files(args.input)
+    groups: list[list[str]] = []
     if args.partitions > 0:
-        files = _input_files(args.input)
         if not files:
             raise SystemExit(f"no parquet files match {args.input}")
         os.makedirs(args.out, exist_ok=True)
         fdir, groups = _filter_partitions(args, files)
-        # stage B consumes the checkpointed, already-filtered survivors
-        in_ds = rd.read_parquet(fdir)
+        # stage B consumes the checkpointed survivors of EXACTLY the
+        # current grouping's part dirs — a recursive read of filtered/
+        # would also ingest stale part-K checkpoints or crash debris.
+        # Expanded to files: Ray 2.49 read_parquet rejects directories
+        # inside an explicit path list
+        part_files = []
+        for pid in range(len(groups)):
+            d = os.path.join(fdir, f"part-{pid}")
+            part_files += sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        in_ds = rd.read_parquet(part_files)
         skip_filters = True
     else:
         in_ds = rd.read_parquet(args.input)
@@ -265,7 +319,8 @@ def main(argv: list[str] | None = None) -> None:
     # the previous run's docs next to the new ones
     _atomic_write_always(
         res.docs, os.path.join(args.out, "docs"),
-        pa.schema([(args.id_col, pa.int64()), (args.text_col, pa.string()),
+        pa.schema([(args.id_col, _id_type(files, args.id_col)),
+                   (args.text_col, pa.string()),
                    ("n_dropped_paragraphs", pa.int64())]),
     )
     _atomic_write_always(
@@ -292,7 +347,7 @@ def main(argv: list[str] | None = None) -> None:
         # stage B only saw the checkpointed survivors, so curate_corpus's
         # input_docs/after_lang_quality reflect the post-filter count;
         # the true shard attrition lives in the stage-A ledger rows
-        n_in, n_kept = _stage_a_totals(args.out, groups)
+        n_in, n_kept = _stage_a_totals(args.out, groups, _fp_params(args))
         res.stats["input_docs"] = n_in
         res.stats["after_lang_quality"] = n_kept
     with open(os.path.join(args.out, "stats.json"), "w") as f:

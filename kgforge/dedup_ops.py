@@ -931,7 +931,9 @@ def exact_dedup_filter(
 
         return _exact_filter_distributed(
             ds, id_col, text_col, dup_sorted, h41, h97,
-            join_partitions() if num_partitions is None else num_partitions,
+            join_partitions(len(dup_sorted))
+            if num_partitions is None
+            else num_partitions,
         )
 
     _dup = dup_sorted

@@ -430,3 +430,105 @@ def test_curate_cli_resume_revalidates_changed_file_groups(ray_session, tmp_path
     stats = json.loads((out / "stats.json").read_text())
     assert stats["input_docs"] == len(docs) + len(extra)
     assert stats["after_lang_quality"] < stats["input_docs"]
+
+
+def test_curate_cli_shrunk_partition_count_prunes_stale_parts(ray_session, tmp_path):
+    """Re-running into the same --out with FEWER partitions must not
+    ingest the previous grouping's stale part-K checkpoints: stage B
+    reads exactly the current groups' part dirs and the stale dirs are
+    pruned — the curated output matches a clean run bit for bit."""
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    quarters = [docs.iloc[i::4] for i in range(4)]
+    for i, q in enumerate(quarters):
+        pq.write_table(
+            pa.Table.from_pandas(q, preserve_index=False), str(indir / f"f{i}.parquet")
+        )
+    out = tmp_path / "out"
+    args = ["--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack"]
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "4"])
+    n_clean = pq.read_table(str(out / "docs")).num_rows
+    assert (out / "filtered" / "part-3").is_dir()
+
+    # shrink the grouping: 4 → 2 partitions, resumed into the same out
+    curate_main(["--input", str(indir), "--out", str(out), *args,
+                 "--partitions", "2", "--resume"])
+    parts = sorted(p.name for p in (out / "filtered").iterdir())
+    assert parts == ["part-0", "part-1"]  # stale part-2/3 pruned
+    got = pq.read_table(str(out / "docs")).to_pandas()
+    assert len(got) == n_clean  # no double-ingested survivors
+
+
+def test_curate_cli_resume_revalidates_changed_filter_params(ray_session, tmp_path):
+    """--resume must not trust a checkpoint built with different filter
+    settings: the ledger fingerprint covers --min-quality/--langs, so a
+    resumed run with a stricter threshold re-runs stage A instead of
+    passing through survivors filtered at the old one."""
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    halves = [docs.iloc[0::2], docs.iloc[1::2]]
+    for i, h in enumerate(halves):
+        pq.write_table(
+            pa.Table.from_pandas(h, preserve_index=False), str(indir / f"f{i}.parquet")
+        )
+    out = tmp_path / "out"
+    base = ["--neardup-threshold", "0.6", "--no-pack", "--partitions", "2"]
+    curate_main(["--input", str(indir), "--out", str(out),
+                 "--min-quality", "0.2", *base])
+    assert pq.read_table(str(out / "docs")).num_rows > 0
+
+    # resume with an impossible threshold: every doc must now be dropped
+    # (a stale-checkpoint pass-through would leave the docs unchanged)
+    curate_main(["--input", str(indir), "--out", str(out),
+                 "--min-quality", "5.0", *base, "--resume"])
+    assert pq.read_table(str(out / "docs")).num_rows == 0
+
+
+def test_curate_cli_string_ids_with_all_dropped_partition(ray_session, tmp_path):
+    """A string-id corpus where one partition filters to EMPTY: the
+    empty part's fallback schema must carry the real id dtype (string),
+    or stage B's read fails parquet schema unification against the
+    non-empty string-id parts."""
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    en = pd.DataFrame(
+        [(f"doc-{i}", f"{HEADER}\n\n{_en_body(i)}\n\n{FOOTER}") for i in range(8)],
+        columns=["doc_id", "text"],
+    )
+    de = pd.DataFrame(
+        [(f"ger-{i}", "der die und nicht das ist ein eine mit von der die "
+                      f"und nummer {i} nicht das ist ein eine mit von")
+         for i in range(4)],
+        columns=["doc_id", "text"],
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(pa.Table.from_pandas(en, preserve_index=False),
+                   str(indir / "f0.parquet"))
+    pq.write_table(pa.Table.from_pandas(de, preserve_index=False),
+                   str(indir / "f1.parquet"))
+    out = tmp_path / "out"
+    curate_main(["--input", str(indir), "--out", str(out),
+                 "--min-quality", "0.2", "--neardup-threshold", "0.6",
+                 "--no-pack", "--partitions", "2"])
+
+    t = pq.read_table(str(out / "docs"))
+    assert t.schema.field("doc_id").type == pa.string()
+    assert set(t["doc_id"].to_pylist()) == set(en["doc_id"])
+    # the empty checkpoint itself is schema-compatible
+    empty = pq.read_table(str(out / "filtered" / "part-1"))
+    assert empty.num_rows == 0
+    assert empty.schema.field("doc_id").type == pa.string()
