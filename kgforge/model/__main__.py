@@ -35,7 +35,8 @@ def main(argv=None) -> None:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
@@ -82,10 +83,17 @@ def main(argv=None) -> None:
             rules = pq.read_table(rules_path).to_pandas()
             syn = replay_rules(syn, rules, seed=args.seed)
             print(f"[synth] replayed {len(rules)} learned rules")
+        # one execution: materialize, then both the write and the count
+        # read the pinned blocks (write_parquet + count would otherwise
+        # each run the whole synthesize/replay lineage)
+        syn = syn.materialize()
         syn.write_parquet(args.out)
         print(f"[synth] wrote {syn.count()} triples -> {args.out}")
 
-    ray.shutdown()
+    # only tear down a session this CLI created — a host process calling
+    # main() programmatically keeps its own Ray session
+    if owns_session:
+        ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -6,7 +6,8 @@ The reference KBModel's M1/M2 statistics map to:
   K2 pred_freq     — facts per predicate (relation distribution)
   K3 domain_range  — per-pred (subj_type, obj_type) fact counts
   K4 degree_hist   — per-pred out/in degree histograms + functionality /
-                     inverse-functionality scalars
+                     inverse-functionality scalars (AMIE definition:
+                     #distinct subjects / #facts)
   K5 pred_stats    — distinct-subject/object counts, reflexive fact count
 
 All of these are groupby-aggregates over the (already-distinct) triples
@@ -143,7 +144,8 @@ def domain_range(triples_ds, id_type: dict):
 
 def pred_stats(triples_ds):
     """K4/K5 scalars per predicate: n_facts, distinct subj/obj counts,
-    functionality = n_facts/n_subj, inverse functionality, reflexive count.
+    functionality = n_subj/n_facts (AMIE definition, ∈ (0,1]), inverse
+    functionality = n_obj/n_facts, reflexive count.
 
     Fully distributed (round 2 — was a driver ``to_pandas()`` of the
     whole graph): n_facts and n_reflexive are single groupby counts;
@@ -182,30 +184,42 @@ def pred_stats(triples_ds):
     out = nf.merge(ns, on="pred").merge(no, on="pred").merge(refl, on="pred", how="left")
     out["n_reflexive"] = out["n_reflexive"].fillna(0).astype("int64")
     out = out.sort_values("pred").reset_index(drop=True)
-    out["functionality"] = (out["n_facts"] / out["n_subj"]).round(4)
-    out["inv_functionality"] = (out["n_facts"] / out["n_obj"]).round(4)
+    # standard AMIE functionality: #distinct subjects / #facts ∈ (0, 1]
+    # (1.0 = strictly functional predicate); NOT mean out-degree
+    out["functionality"] = (out["n_subj"] / out["n_facts"]).round(4)
+    out["inv_functionality"] = (out["n_obj"] / out["n_facts"]).round(4)
     return out
+
+
+#: canonical column schemas per model table — the SINGLE source shared by
+#: the full learner below and the tiered learners (protocol.M1Learner), so
+#: an empty-input frame pins the same schema in every tier
+MODEL_TABLE_COLS: dict[str, dict[str, str]] = {
+    "pred_freq": {"pred": "str", "n_facts": "int64"},
+    "type_dist": {"type_set": "str", "n_entities": "int64"},
+    "domain_range": {"pred": "str", "subj_type": "str", "obj_type": "str",
+                     "n_facts": "int64"},
+    "degree": {"pred": "str", "direction": "str", "degree": "int64",
+               "n_entities": "int64"},
+}
+
+
+def model_frame(x, table: str) -> pd.DataFrame:
+    """Dataset/frame → pandas frame with the table's canonical schema."""
+    df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
+    return _ensure_cols(df, MODEL_TABLE_COLS[table])
 
 
 def learn_model(triples_ds, id_type: dict[str, str]) -> dict[str, pd.DataFrame]:
     """Full KBModel: all histograms as small pandas frames (each is
     bounded by |preds| × |degree buckets|, tiny next to the graph)."""
-
-    def pdf(x, cols: dict[str, str]):
-        df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
-        return _ensure_cols(df, cols)
-
-    deg_cols = {"pred": "str", "direction": "str", "degree": "int64",
-                "n_entities": "int64"}
     return {
-        "pred_freq": pdf(pred_freq(triples_ds), {"pred": "str", "n_facts": "int64"}),
-        "degree_out": pdf(degree_hist(triples_ds, "out"), deg_cols),
-        "degree_in": pdf(degree_hist(triples_ds, "in"), deg_cols),
-        "type_dist": pdf(type_dist(triples_ds, id_type),
-                         {"type_set": "str", "n_entities": "int64"}),
-        "domain_range": pdf(domain_range(triples_ds, id_type),
-                            {"pred": "str", "subj_type": "str", "obj_type": "str",
-                             "n_facts": "int64"}),
+        "pred_freq": model_frame(pred_freq(triples_ds), "pred_freq"),
+        "degree_out": model_frame(degree_hist(triples_ds, "out"), "degree"),
+        "degree_in": model_frame(degree_hist(triples_ds, "in"), "degree"),
+        "type_dist": model_frame(type_dist(triples_ds, id_type), "type_dist"),
+        "domain_range": model_frame(domain_range(triples_ds, id_type),
+                                    "domain_range"),
         "pred_stats": pred_stats(triples_ds),
     }
 

@@ -45,21 +45,16 @@ class M1Learner:
     def learn(self, triples_ds, id_type: dict) -> dict[str, pd.DataFrame]:
         # compute ONLY the M1 tables — learn_model would also run the
         # degree histograms and pred_stats (≈6 extra distributed
-        # aggregation passes) just to throw them away
-        from .learn import _ensure_cols, domain_range, pred_freq, type_dist
-
-        def pdf(x, cols):
-            df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
-            return _ensure_cols(df, cols)
+        # aggregation passes) just to throw them away; schemas come from
+        # learn.MODEL_TABLE_COLS so the tiers can never drift
+        from .learn import domain_range, model_frame, pred_freq, type_dist
 
         out = {
-            "pred_freq": pdf(pred_freq(triples_ds),
-                             {"pred": "str", "n_facts": "int64"}),
-            "type_dist": pdf(type_dist(triples_ds, id_type),
-                             {"type_set": "str", "n_entities": "int64"}),
-            "domain_range": pdf(domain_range(triples_ds, id_type),
-                                {"pred": "str", "subj_type": "str",
-                                 "obj_type": "str", "n_facts": "int64"}),
+            "pred_freq": model_frame(pred_freq(triples_ds), "pred_freq"),
+            "type_dist": model_frame(type_dist(triples_ds, id_type),
+                                     "type_dist"),
+            "domain_range": model_frame(domain_range(triples_ds, id_type),
+                                        "domain_range"),
         }
         # degenerate degree histograms (all degree 1) so the shared
         # synthesizer can run on an M1 model

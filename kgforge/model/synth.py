@@ -123,15 +123,18 @@ def synthesize(model: dict[str, pd.DataFrame], scale: float = 1.0, seed: int = 7
     return rd.from_arrow(tables)
 
 
-def synth_id_type(model: dict[str, pd.DataFrame]) -> dict[str, str]:
+def synth_id_type(model: dict[str, pd.DataFrame], scale: float = 1.0) -> dict[str, str]:
     """Type lookup for synthesized entities (their type is embedded in the
-    id: syn_{type}_{i})."""
+    id: syn_{type}_{i}). ``scale`` must cover the scale the graph was
+    synthesized at — ids beyond the enumerated range would silently type
+    as 'unknown' in a learn→synth→learn loop."""
     out = {}
+    mult = max(4.0, scale)  # ≥4× keeps small-scale lookups permissive
     for _, row in model["type_dist"].iterrows():
         t = row["type_set"]
         if t == "literal":
             continue  # lit:* ids are typed by prefix in _map_type_set
-        n = max(1, int(round(row["n_entities"])))
-        for i in range(n * 4):  # cover scales up to 4x for tests
+        n = max(1, int(round(row["n_entities"] * mult)))
+        for i in range(n):
             out[f"syn_{t}_{i:07d}"] = t
     return out

@@ -15,9 +15,17 @@ import pyarrow as pa
 DEFAULT_BASE = "http://kgforge.example/"
 
 _NT_LINE = re.compile(
-    r"^\s*<(?P<s>[^>]*)>\s+<(?P<p>[^>]*)>\s+"
-    r"(?:<(?P<o>[^>]*)>|\"(?P<lit>(?:[^\"\\]|\\.)*)\"(?:\^\^<(?P<dt>[^>]*)>)?)\s*\.\s*$"
+    r"^\s*(?:<(?P<s>[^>]*)>|(?P<sb>_:\S+))\s+<(?P<p>[^>]*)>\s+"
+    r"(?:<(?P<o>[^>]*)>|(?P<ob>_:\S+)|\"(?P<lit>(?:[^\"\\]|\\.)*)\""
+    r"(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z]+(?:-[A-Za-z0-9]+)*))?)"
+    r"\s*\.\s*(?:#.*)?$"
 )
+
+_LANG_TAG = re.compile(r"^[A-Za-z]+(?:-[A-Za-z0-9]+)*$")
+#: ids that are already absolute IRIs (scheme + IRIREF shape) — parse
+#: keeps them verbatim, so the serializer must emit them verbatim too
+#: instead of base-prefixing (which would double-prefix foreign IRIs)
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
 # datatype-carriage sentinel inside a "lit:<lex>^^<dt>" token for literals
@@ -31,15 +39,24 @@ _PLAIN_DT = "plain"
 _DT_IRI = re.compile(r'^[^\x00-\x20<>"{}|^`\\]+$')
 
 
-def make_literal(lex: str, dt: str | None = None) -> str:
+def make_literal(lex: str, dt: str | None = None, lang: str | None = None) -> str:
     """Canonical ``lit:`` token for a literal object — the ONLY way engine
     code should construct one. Appends the plain-marker carriage whenever
     the bare form would be ambiguous on re-write (year-shaped lexical
     forms the serializer would re-type as gYear, and lexical forms
     containing ``^^`` that would otherwise be mis-read as a datatype
     carriage), so ``to_nt_lines ∘ parse_nt_batch`` is faithful for every
-    token produced through this constructor."""
+    token produced through this constructor. ``lang`` carries an RDF
+    language tag (``"x"@en``) as a ``^^@<tag>`` carriage — a tag can
+    never be a datatype IRI (no colon), so the two suffixes cannot
+    collide."""
     is_year = lex.isdigit() and len(lex) == 4
+    if lang is not None:
+        if dt is not None:
+            raise ValueError("make_literal: lang and dt are mutually exclusive")
+        if not _LANG_TAG.match(lang):
+            raise ValueError(f"make_literal: malformed language tag {lang!r}")
+        return f"lit:{lex}^^@{lang}"
     if dt is None:
         if is_year or "^^" in lex:
             return f"lit:{lex}^^{_PLAIN_DT}"
@@ -87,26 +104,39 @@ def to_nt_lines(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
     4-digit values, plain string literals otherwise (kbgen KBs contain
     literal-valued facts)."""
 
+    def iri_term(x: str, kind: str) -> str:
+        # blank nodes and already-absolute IRIs (what parse_nt_batch keeps
+        # verbatim for foreign files) serialize verbatim — base-prefixing
+        # them would double-prefix every id outside the base namespace
+        if x.startswith("_:"):
+            return x
+        if _SCHEME.match(x) and _DT_IRI.match(x):
+            return f"<{x}>"
+        return f"<{base}{kind}/{x}>"
+
     def obj_term(o: str) -> str:
         if o.startswith("lit:"):
             v = o[4:]
             if "^^" in v:
                 # possibly a literal with explicit datatype carriage (see
                 # parse_nt_batch) — honor the suffix only when it IS a
-                # carriage (sentinel or valid IRI with a scheme colon); a
-                # plain lexical form that merely contains "^^" falls through
+                # carriage (sentinel, @lang tag, or valid IRI with a scheme
+                # colon); a plain lexical form that merely contains "^^"
+                # falls through
                 lex, dt = v.rsplit("^^", 1)
                 if dt == _PLAIN_DT:
                     return f'"{_escape(lex)}"'
+                if dt.startswith("@") and _LANG_TAG.match(dt[1:]):
+                    return f'"{_escape(lex)}"@{dt[1:]}'
                 if ":" in dt and _DT_IRI.match(dt):
                     return f'"{_escape(lex)}"^^<{dt}>'
             if v.isdigit() and len(v) == 4:
                 return f'"{_escape(v)}"^^<{_XSD_GYEAR}>'
             return f'"{_escape(v)}"'
-        return f"<{base}entity/{o}>"
+        return iri_term(o, "entity")
 
     lines = [
-        f"<{base}entity/{s}> <{base}pred/{p}> {obj_term(o)} ."
+        f"{iri_term(s, 'entity')} {iri_term(p, 'pred')} {obj_term(o)} ."
         for s, p, o in zip(
             batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
         )
@@ -131,9 +161,11 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
         m = _NT_LINE.match(line)
         if not m:
             continue
-        s = strip(m.group("s"), "entity")
+        s = m.group("sb") or strip(m.group("s"), "entity")
         p = strip(m.group("p"), "pred")
-        if m.group("o") is not None:
+        if m.group("ob") is not None:
+            o = m.group("ob")
+        elif m.group("o") is not None:
             o = strip(m.group("o"), "entity")
         else:
             # literal objects carry the engine's "lit:" marker in the
@@ -145,8 +177,11 @@ def parse_nt_batch(batch: pa.Table, base: str = DEFAULT_BASE) -> pa.Table:
             # faithful (no silently re-guessed datatypes)
             lex = _unescape(m.group("lit"))
             dt = m.group("dt")
+            lang = m.group("lang")
             is_year = lex.isdigit() and len(lex) == 4
-            if dt is None:
+            if lang is not None:
+                o = f"lit:{lex}^^@{lang}"
+            elif dt is None:
                 # the sentinel also guards plain lexical forms CONTAINING
                 # "^^", which to_nt_lines would otherwise mis-read as a
                 # datatype carriage (rsplit pairs with this marker)
@@ -209,14 +244,24 @@ def write_ntriples(triples_ds, out_dir: str, base: str = DEFAULT_BASE) -> None:
     # dir with changed data produces different digests, and without this the
     # old parts would survive and read_ntriples would union stale triples
     names = sorted({r["path"] for r in written.take_all()})
+    manifest_path = os.path.join(out_dir, "_MANIFEST")
+    # stale cleanup is scoped to the PREVIOUS manifest's parts: only files
+    # this sink wrote in the superseded run are deleted — hand-placed or
+    # foreign *.nt files in the same directory are never touched (they are
+    # also never read: read_ntriples follows the manifest)
+    prev: set[str] = set()
+    if os.path.isfile(manifest_path):
+        with open(manifest_path, encoding="utf-8") as fh:
+            prev = {ln.strip() for ln in fh if ln.strip()}
     tmp = os.path.join(out_dir, f".tmp-manifest-{os.getpid()}")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(names) + ("\n" if names else ""))
-    os.replace(tmp, os.path.join(out_dir, "_MANIFEST"))
-    keep = set(names)
-    for f in os.listdir(out_dir):
-        if f.endswith(".nt") and f not in keep:
+    os.replace(tmp, manifest_path)
+    for f in prev - set(names):
+        try:
             os.remove(os.path.join(out_dir, f))
+        except FileNotFoundError:
+            pass
 
 
 def read_ntriples(path: str, base: str = DEFAULT_BASE):

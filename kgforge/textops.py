@@ -36,9 +36,20 @@ _EN_STOP = {
 _LANG_MARKERS = {lang: set(words) for lang, words in LANG_WORDS.items()}
 
 
+def _replace_column(t: pa.Table, name: str, arr) -> pa.Table:
+    """append_column with last-wins semantics: a plan composing two ops
+    that emit the same feature name (e.g. token_count then quality, both
+    producing n_tokens) must not create a duplicated field — downstream
+    t[name] raises on ambiguous schemas."""
+    if name in t.column_names:
+        t = t.drop_columns([name])
+    return t.append_column(name, arr)
+
+
 def lang_id_text(text: str) -> str:
     """n-gram/marker-word language heuristic: highest marker hit-rate wins;
-     'en' on stopword evidence; 'und' if nothing matches."""
+     'en' on stopword evidence; 'und' if nothing matches (incl. null)."""
+    text = text or ""
     toks = text.lower().split()
     if not toks:
         return "und"
@@ -58,8 +69,9 @@ def lang_id_text(text: str) -> str:
 
 def add_lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
     def f(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            out_col, pa.array([lang_id_text(x) for x in t[text_col].to_pylist()], pa.string())
+        return _replace_column(
+            t, out_col,
+            pa.array([lang_id_text(x) for x in t[text_col].to_pylist()], pa.string()),
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -76,6 +88,7 @@ def quality_batch(t: pa.Table, text_col: str = "text",
     texts = t[text_col].to_pylist()
     n_chars, n_tokens, punct_r, stop_r, distinct_r, mean_len, score = [], [], [], [], [], [], []
     for x in texts:
+        x = x or ""  # null text scores as empty, not AttributeError
         toks = _QTOK_RE.findall(x.translate(_ASCII_LOWER))
         nt = len(toks)
         nc = len(x)
@@ -102,13 +115,18 @@ def quality_batch(t: pa.Table, text_col: str = "text",
         distinct_r.append(rd_(dr))
         mean_len.append(rd_(ml))
         score.append(rd_(s))
-    return t.append_column("n_chars_q", pa.array(n_chars, pa.int64())) \
-        .append_column("n_tokens", pa.array(n_tokens, pa.int64())) \
-        .append_column("punct_ratio", pa.array(punct_r, pa.float64())) \
-        .append_column("stopword_ratio", pa.array(stop_r, pa.float64())) \
-        .append_column("distinct_ratio", pa.array(distinct_r, pa.float64())) \
-        .append_column("mean_token_len", pa.array(mean_len, pa.float64())) \
-        .append_column("quality_score", pa.array(score, pa.float64()))
+    out = t
+    for name, arr in (
+        ("n_chars_q", pa.array(n_chars, pa.int64())),
+        ("n_tokens", pa.array(n_tokens, pa.int64())),
+        ("punct_ratio", pa.array(punct_r, pa.float64())),
+        ("stopword_ratio", pa.array(stop_r, pa.float64())),
+        ("distinct_ratio", pa.array(distinct_r, pa.float64())),
+        ("mean_token_len", pa.array(mean_len, pa.float64())),
+        ("quality_score", pa.array(score, pa.float64())),
+    ):
+        out = _replace_column(out, name, arr)
+    return out
 
 
 def add_quality(ds, text_col: str = "text", round_digits: int | None = 4):
@@ -120,7 +138,7 @@ def add_quality(ds, text_col: str = "text", round_digits: int | None = 4):
 def fingerprint_text(text: str, window: int = 8) -> str:
     """Rolling polynomial hash fingerprint: min-of-window token hashes
     (a winnowing-style document fingerprint), hex-encoded."""
-    toks = text.lower().split()
+    toks = (text or "").lower().split()
     if not toks:
         return "0" * 16
     hs = [stable_u64(tk, "fp") for tk in toks]
@@ -138,8 +156,8 @@ def fingerprint_text(text: str, window: int = 8) -> str:
 
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     def f(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            out_col,
+        return _replace_column(
+            t, out_col,
             pa.array([fingerprint_text(x) for x in t[text_col].to_pylist()], pa.string()),
         )
 
@@ -153,8 +171,8 @@ def token_count_ds(ds, text_col: str = "text", out_col: str = "n_tokens"):
     \\S considers non-space, which would shift counts vs a pure-RE2
     oracle on texts with such chars at the boundaries."""
     return ds.map_batches(
-        lambda t: t.append_column(
-            out_col,
+        lambda t: _replace_column(
+            t, out_col,
             pc.cast(
                 pc.count_substring_regex(t[text_col], pattern=r"\S+"),
                 pa.int64(),

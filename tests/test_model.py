@@ -51,6 +51,10 @@ def test_pred_stats_functionality(triples, tdf):
         assert st.loc[pred, "n_facts"] == len(grp)
         assert st.loc[pred, "n_subj"] == grp["subj"].nunique()
         assert st.loc[pred, "n_reflexive"] == 0
+        # AMIE functionality: #distinct subjects / #facts, in (0, 1]
+        want_f = round(grp["subj"].nunique() / len(grp), 4)
+        assert st.loc[pred, "functionality"] == want_f
+        assert 0 < st.loc[pred, "functionality"] <= 1.0
 
 
 def _tv(p: pd.Series, q: pd.Series) -> float:

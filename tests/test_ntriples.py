@@ -253,3 +253,66 @@ def test_read_ntriples_raises_on_foreign_directory(tmp_path):
         "<http://kgforge.example/entity/b> .\n")
     with pytest.raises(FileNotFoundError, match="no _MANIFEST"):
         read_ntriples(str(d))
+
+
+def test_parse_foreign_grammar_lang_bnode_comment():
+    """Valid N-Triples the original grammar silently dropped: language-
+    tagged literals, blank-node subjects/objects, trailing comments."""
+    lines = pa.table({"line": [
+        '<http://kgforge.example/entity/a> <http://kgforge.example/pred/p> "hello"@en .',
+        '_:b0 <http://kgforge.example/pred/p> <http://kgforge.example/entity/b> .',
+        '<http://kgforge.example/entity/a> <http://kgforge.example/pred/p> _:b1 .',
+        '<http://kgforge.example/entity/a> <http://kgforge.example/pred/p> '
+        '<http://kgforge.example/entity/b> . # trailing comment',
+        '<http://kgforge.example/entity/a> <http://kgforge.example/pred/p> "plain" .',
+    ]})
+    out = parse_nt_batch(lines)
+    assert out.num_rows == 5
+    assert out["obj"].to_pylist()[0] == "lit:hello^^@en"
+    assert out["subj"].to_pylist()[1] == "_:b0"
+    assert out["obj"].to_pylist()[2] == "_:b1"
+    assert out["obj"].to_pylist()[4] == "lit:plain"
+
+
+def test_foreign_iri_and_lang_write_parse_roundtrip():
+    """write∘parse is the identity for foreign files: absolute IRIs and
+    blank nodes serialize VERBATIM (no double base-prefixing), lang tags
+    survive the lit-token carriage."""
+    src = pa.table({"line": [
+        '<http://dbpedia.org/resource/X> <http://dbpedia.org/ontology/knows> '
+        '<http://dbpedia.org/resource/Y> .',
+        '_:b0 <http://dbpedia.org/ontology/label> "Zürich"@de-CH .',
+    ]})
+    triples = parse_nt_batch(src)
+    assert triples["subj"].to_pylist()[0] == "http://dbpedia.org/resource/X"
+    lines = to_nt_lines(triples)["line"].to_pylist()
+    assert lines[0] == ('<http://dbpedia.org/resource/X> '
+                        '<http://dbpedia.org/ontology/knows> '
+                        '<http://dbpedia.org/resource/Y> .')
+    assert lines[1] == '_:b0 <http://dbpedia.org/ontology/label> "Zürich"@de-CH .'
+    # engine-native ids still get the base namespace
+    native = to_nt_lines(_triples_table())["line"].to_pylist()
+    assert native[0].startswith("<http://kgforge.example/entity/e0001>")
+
+
+def test_write_ntriples_preserves_foreign_nt_files(ray_session, tmp_path):
+    """Stale-part cleanup is scoped to the previous _MANIFEST: a hand-
+    placed .nt file in the output dir survives BOTH an initial write and
+    a changed-data re-write (which must still delete its own old part)."""
+    import os
+
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    foreign = os.path.join(d, "hand-placed.nt")
+    with open(foreign, "w") as f:
+        f.write('<http://x/> <http://p/> <http://y/> .\n')
+    write_ntriples(rd.from_arrow(_triples_table()), d)
+    assert os.path.exists(foreign)
+    old_parts = {f for f in os.listdir(d) if f.startswith("part-")}
+    t2 = pa.table({"subj": ["e9"], "pred": ["works_for"], "obj": ["e10"]})
+    write_ntriples(rd.from_arrow(t2), d)
+    assert os.path.exists(foreign)  # foreign file still untouched
+    new_parts = {f for f in os.listdir(d) if f.startswith("part-")}
+    assert not (old_parts & new_parts)  # own stale parts replaced
+    got = read_ntriples(d).to_pandas()
+    assert got["subj"].tolist() == ["e9"]  # manifest reads only the new run

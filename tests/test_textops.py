@@ -42,3 +42,34 @@ def test_fingerprint_deterministic_and_sensitive():
     assert fingerprint_text(a) == fingerprint_text(a)
     assert fingerprint_text(a) != fingerprint_text(a + " extra trailing words here now")
     assert fingerprint_text("") == "0" * 16
+
+
+def test_null_text_survives_all_text_ops(ray_session):
+    """A corpus with null text cells must score/classify/fingerprint as
+    empty, not AttributeError the whole stage."""
+    import ray.data as rd
+
+    from kgforge.textops import add_fingerprint, add_lang_id, add_quality
+
+    t = pa.table({"doc_id": [1, 2], "text": ["the quick brown fox", None]})
+    ds = rd.from_arrow(t)
+    q = add_quality(ds).to_pandas()
+    assert q.loc[1, "n_tokens"] == 0 and q.loc[1, "quality_score"] == 0.0
+    l = add_lang_id(ds).to_pandas()
+    assert l.loc[1, "lang_pred"] == "und"
+    fp = add_fingerprint(ds).to_pandas()
+    assert fp.loc[1, "fingerprint"] == "0" * 16
+
+
+def test_quality_after_token_count_no_duplicate_column(ray_session):
+    """Composing token_count then quality (both emit n_tokens) must yield
+    ONE n_tokens field (last-wins), not a duplicated schema field that
+    breaks t[name] downstream."""
+    import ray.data as rd
+
+    from kgforge.textops import add_quality, token_count_ds
+
+    t = pa.table({"doc_id": [1], "text": ["alpha  beta gamma"]})
+    out = add_quality(token_count_ds(rd.from_arrow(t))).to_pandas()
+    assert list(out.columns).count("n_tokens") == 1
+    assert out.loc[0, "n_tokens"] == 3
