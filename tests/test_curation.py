@@ -369,13 +369,18 @@ def test_curate_cli_checkpointed_partitions_and_resume(ray_session, tmp_path):
     # RESUME: tamper part-0's published file; the resumed run must skip
     # the partition (tamper survives) and still produce correct output
     part0 = out / "filtered" / "part-0"
-    victim = next(f for f in part0.iterdir() if f.suffix == ".parquet")
+    # the checkpoint may be split into several small parquet files; tamper
+    # the LARGEST one down to zero rows so the shrink is always observable
+    victim = max(
+        (f for f in part0.iterdir() if f.suffix == ".parquet"),
+        key=lambda f: pq.read_metadata(str(f)).num_rows,
+    )
     t = pq.read_table(str(victim))
-    marker = t.slice(0, 1)
-    pq.write_table(marker, str(victim))  # shrink to 1 row as a tamper marker
+    assert t.num_rows >= 1
+    pq.write_table(t.slice(0, 0), str(victim))  # empty file as tamper marker
     curate_main(["--input", str(indir), "--out", str(out), *args,
                  "--partitions", "2", "--resume"])
-    assert pq.read_table(str(victim)).num_rows == 1  # partition NOT recomputed
+    assert pq.read_table(str(victim)).num_rows == 0  # partition NOT recomputed
     stats = json.loads((out / "stats.json").read_text())
     assert stats["checkpoint_partitions"] == 2
     # resumed global stage consumed the (tampered) checkpoint: docs shrink
