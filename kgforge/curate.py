@@ -10,7 +10,13 @@ and writes, under ``--out``:
     packed/    fixed-length token sequences (unless --no-pack)
     index/     this shard's (h1, h2) survivor index — union it with the
                corpus index and pass as --known-index on the next shard
+    shards/    (with --n-shards K) deterministic globally-shuffled
+               shard=J/ hive partitions of the curated docs
     stats.json per-stage row counts
+
+Optional hygiene stages: --repetition-filter (Gopher Table A1),
+--decontam-benchmark (eval-set n-gram overlap removal),
+--max-per-domain (per-site quota; needs --url-col on the input).
 
 ``--partitions K`` turns on per-partition checkpointing (same ledger
 design as the KG path, steps/ledger.py): the input parquet files are
@@ -260,7 +266,29 @@ def main(argv: list[str] | None = None) -> None:
                         "input-file partitions with a resume ledger (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="skip stage-A partitions whose ledger row exists")
+    p.add_argument("--repetition-filter", action="store_true",
+                   help="drop repetitious docs (Gopher Table A1 thresholds)")
+    p.add_argument("--decontam-benchmark", default=None,
+                   help="parquet path of eval-benchmark texts (column --text-col) "
+                        "to decontaminate against, or a .txt file of one text "
+                        "per line")
+    p.add_argument("--decontam-ngram", type=int, default=13)
+    p.add_argument("--max-per-domain", type=int, default=None,
+                   help="keep at most this many docs per site (--url-col must "
+                        "exist on the input; incompatible with --partitions, "
+                        "whose checkpoints drop the url column)")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--n-shards", type=int, default=0,
+                   help="after curation, write <out>/shards/shard=K/ as a "
+                        "deterministic global shuffle of the curated docs")
+    p.add_argument("--shard-seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.max_per_domain is not None and args.partitions > 0:
+        raise SystemExit(
+            "--max-per-domain cannot be combined with --partitions: stage-A "
+            "checkpoints store only (id, text); run the quota in a "
+            "non-checkpointed pass"
+        )
 
     import ray
 
@@ -298,6 +326,17 @@ def main(argv: list[str] | None = None) -> None:
         skip_filters = True
     else:
         in_ds = rd.read_parquet(args.input)
+    bench = None
+    if args.decontam_benchmark:
+        if args.decontam_benchmark.endswith(".txt"):
+            with open(args.decontam_benchmark) as f:
+                bench = [ln.rstrip("\n") for ln in f if ln.strip()]
+        else:
+            import pyarrow.parquet as pq
+
+            bench = pq.read_table(
+                args.decontam_benchmark, columns=[args.text_col]
+            )[args.text_col].to_pylist()
     res = curate_corpus(
         in_ds,
         id_col=args.id_col,
@@ -310,6 +349,11 @@ def main(argv: list[str] | None = None) -> None:
         pack=not args.no_pack,
         stats=args.stats,
         skip_filters=skip_filters,
+        repetition=args.repetition_filter,
+        decontam_benchmark=bench,
+        decontam_ngram=args.decontam_ngram,
+        max_per_domain=args.max_per_domain,
+        url_col=args.url_col,
     )
     import pyarrow as pa
 
@@ -350,6 +394,15 @@ def main(argv: list[str] | None = None) -> None:
         n_in, n_kept = _stage_a_totals(args.out, groups, _fp_params(args))
         res.stats["input_docs"] = n_in
         res.stats["after_lang_quality"] = n_kept
+    if args.n_shards > 0:
+        from kgforge.shard import shuffle_shard
+
+        n = shuffle_shard(
+            res.docs, os.path.join(args.out, "shards"), args.n_shards,
+            id_col=args.id_col, seed=args.shard_seed,
+        )
+        res.stats["shards"] = args.n_shards
+        res.stats["sharded_docs"] = n
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(res.stats, f, indent=1, sort_keys=True)
     print(json.dumps(res.stats, sort_keys=True))

@@ -94,7 +94,21 @@ def curate_corpus(
     pack: bool = True,
     stats: str = "counts",
     skip_filters: bool = False,
+    repetition: "bool | dict" = False,
+    decontam_benchmark=None,
+    decontam_ngram: int = 13,
+    max_per_domain: int | None = None,
+    url_col: str = "url",
 ) -> CurationResult:
+    """Optional hygiene stages (all off by default, each the library
+    operator it names): ``repetition`` (True = Gopher Table A1
+    thresholds, or a thresholds dict) drops repetitious docs;
+    ``decontam_benchmark`` (list[str] / Dataset / precomputed hash
+    array) removes eval-set n-gram overlaps; ``max_per_domain`` caps
+    docs per site (requires ``url_col`` on the input; ranked by
+    quality_score when the filters ran here, else a seeded hash
+    sample).  All three are per-doc / broadcast stages — no extra
+    corpus shuffle."""
     if stats not in ("counts", "none"):
         raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
     counting = stats == "counts"
@@ -115,10 +129,55 @@ def curate_corpus(
     cur = ds if skip_filters else lang_quality_filter(
         ds, text_col, langs=langs, min_quality=min_quality
     )
-    cur = cur.select_columns([id_col, text_col])
+    # thin projection up front; url (and the rank column) ride along
+    # only while the domain quota needs them
+    cap_order = None if skip_filters else "quality_score"
+    if max_per_domain is not None:
+        keep_cols = [id_col, text_col, url_col]
+        if cap_order is not None:
+            keep_cols.append(cap_order)
+        cur = cur.select_columns(keep_cols)
+    else:
+        cur = cur.select_columns([id_col, text_col])
     if counting:
         cur = cur.materialize()
         st["after_lang_quality"] = cur.count()
+
+    # 2b. per-domain quota, ranked by the quality score the filters
+    # just computed (seeded-hash sample on pre-filtered inputs)
+    if max_per_domain is not None:
+        from kgforge.domainops import domain_cap
+
+        cur = domain_cap(
+            cur, max_per_domain,
+            url_col=url_col, id_col=id_col, order_col=cap_order,
+        ).select_columns([id_col, text_col])
+        if counting:
+            cur = cur.materialize()
+            st["after_domain_cap"] = cur.count()
+
+    # 2c. within-doc repetition rules (Gopher Table A1)
+    if repetition:
+        from kgforge.repetition import gopher_repetition_filter
+
+        cur = gopher_repetition_filter(
+            cur, text_col,
+            thresholds=None if repetition is True else repetition,
+        )
+        if counting:
+            cur = cur.materialize()
+            st["after_repetition"] = cur.count()
+
+    # 2d. eval-benchmark decontamination (broadcast n-gram overlap)
+    if decontam_benchmark is not None:
+        from kgforge.decontam import decontaminate
+
+        cur = decontaminate(
+            cur, decontam_benchmark, text_col=text_col, n=decontam_ngram
+        )
+        if counting:
+            cur = cur.materialize()
+            st["after_decontam"] = cur.count()
 
     # 3. exact dedup: one survivor (min id) per distinct text
     cur = exact_dedup_filter(cur, id_col, text_col)

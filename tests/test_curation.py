@@ -537,3 +537,80 @@ def test_curate_cli_string_ids_with_all_dropped_partition(ray_session, tmp_path)
     empty = pq.read_table(str(out / "filtered" / "part-1"))
     assert empty.num_rows == 0
     assert empty.schema.field("doc_id").type == pa.string()
+
+
+def test_curate_corpus_hygiene_stages(ray_session):
+    """repetition + decontamination + domain quota as pipeline stages:
+    each drops exactly its engineered victims and the stats ledger
+    records the attrition in order."""
+    docs = _corpus()
+    docs["url"] = [
+        f"https://site{i % 4}.example/p/{i}" for i in range(len(docs))
+    ]
+    # victim A: passes quality but is wildly repetitious
+    spam_body = ("the offer " * 40).strip()
+    # victim B: contains a benchmark span verbatim
+    bench_span = ("the benchmark question asks about the annual committee "
+                  "budget report for the harbor district schedule")
+    docs.loc[len(docs)] = [300, f"{_en_body(60)} {bench_span} tail", 
+                           "https://site0.example/p/300"]
+    docs.loc[len(docs)] = [301, f"the spam article {spam_body}",
+                           "https://site1.example/p/301"]
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    res = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, pack=False,
+        repetition=True, decontam_benchmark=[bench_span], decontam_ngram=13,
+        max_per_domain=100,
+    )
+    s = res.stats
+    out_ids = set(res.docs.to_pandas()["doc_id"])
+    assert 301 not in out_ids          # repetition filter
+    assert 300 not in out_ids          # decontamination
+    assert s["after_domain_cap"] == s["after_lang_quality"]  # loose cap
+    assert s["after_repetition"] == s["after_domain_cap"] - 1
+    assert s["after_decontam"] == s["after_repetition"] - 1
+    assert set(range(30)) <= out_ids
+
+    # tight quota: at most 2 per site, ranked by quality
+    res2 = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, pack=False,
+        max_per_domain=2,
+    )
+    assert res2.stats["after_domain_cap"] == 8  # 4 sites × 2
+
+
+def test_curate_cli_shards_and_hygiene(ray_session, tmp_path):
+    """CLI: --repetition-filter, --decontam-benchmark (.txt), and
+    --n-shards write deterministic shard dirs of the curated docs."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    spam = ("the offer " * 40).strip()
+    docs.loc[len(docs)] = [400, f"the spam article {spam}"]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(indir / "f0.parquet"))
+    bench_file = tmp_path / "bench.txt"
+    bench_file.write_text(_en_body(5) + "\n")  # doc 5's body is "leaked"
+    out = tmp_path / "out"
+    curate_main(["--input", str(indir), "--out", str(out),
+                 "--min-quality", "0.2", "--neardup-threshold", "0.6",
+                 "--no-pack", "--repetition-filter",
+                 "--decontam-benchmark", str(bench_file),
+                 "--n-shards", "3", "--shard-seed", "9"])
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["after_repetition"] == stats["after_lang_quality"] - 1
+    assert stats["after_decontam"] == stats["after_repetition"] - 1
+    assert stats["shards"] == 3
+    got = pq.read_table(str(out / "docs")).to_pandas()
+    assert 400 not in set(got["doc_id"]) and 5 not in set(got["doc_id"])
+    shard_dirs = sorted(p.name for p in (out / "shards").iterdir())
+    assert shard_dirs == ["shard=0", "shard=1", "shard=2"]
+    sharded = pq.read_table(str(out / "shards")).to_pandas()
+    assert sorted(sharded["doc_id"]) == sorted(got["doc_id"])
+    assert stats["sharded_docs"] == len(got)
