@@ -259,6 +259,34 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         extras["curation_stream_sec"] = round(stream_sec, 3)
         extras["curation_stream_docs_per_sec"] = round(n_docs / stream_sec, 1)
 
+        # hygiene operators (round 4): Gopher repetition rules,
+        # benchmark decontamination, deterministic shuffle-shard write
+        from kgforge.decontam import benchmark_ngram_hashes, decontaminate
+        from kgforge.repetition import gopher_repetition_filter
+        from kgforge.shard import shuffle_shard
+
+        t0 = time.perf_counter()
+        n_rep = gopher_repetition_filter(docs_ds).count()
+        rep_sec = time.perf_counter() - t0
+        extras["repetition_filter_sec"] = round(rep_sec, 3)
+        extras["repetition_docs_per_sec"] = round(n_docs / rep_sec, 1)
+        extras["repetition_kept_docs"] = n_rep
+
+        bench_texts = [r["text"] for r in docs_ds.take(50)]
+        hashes = benchmark_ngram_hashes(bench_texts, n=13)
+        t0 = time.perf_counter()
+        n_clean = decontaminate(docs_ds, hashes, n=13).count()
+        dec_sec = time.perf_counter() - t0
+        extras["decontam_sec"] = round(dec_sec, 3)
+        extras["decontam_docs_per_sec"] = round(n_docs / dec_sec, 1)
+        extras["decontam_kept_docs"] = n_clean
+
+        shard_dir = "/tmp/kgforge_bench_shards"
+        _sh.rmtree(shard_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        shuffle_shard(docs_ds, shard_dir, 8, id_col="doc_id", seed=1)
+        extras["shuffle_shard_sec"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
