@@ -278,6 +278,9 @@ def main(argv: list[str] | None = None) -> None:
                         "exist on the input; incompatible with --partitions, "
                         "whose checkpoints drop the url column)")
     p.add_argument("--url-col", default="url")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub emails/ips/phones to placeholder tokens "
+                        "before dedup")
     p.add_argument("--n-shards", type=int, default=0,
                    help="after curation, write <out>/shards/shard=K/ as a "
                         "deterministic global shuffle of the curated docs")
@@ -354,6 +357,7 @@ def main(argv: list[str] | None = None) -> None:
         decontam_ngram=args.decontam_ngram,
         max_per_domain=args.max_per_domain,
         url_col=args.url_col,
+        redact_pii=args.redact_pii,
     )
     import pyarrow as pa
 

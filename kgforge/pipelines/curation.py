@@ -99,6 +99,7 @@ def curate_corpus(
     decontam_ngram: int = 13,
     max_per_domain: int | None = None,
     url_col: str = "url",
+    redact_pii: bool = False,
 ) -> CurationResult:
     """Optional hygiene stages (all off by default, each the library
     operator it names): ``repetition`` (True = Gopher Table A1
@@ -118,11 +119,24 @@ def curate_corpus(
 
     # id dtype probe from the INPUT schema (the id column passes through
     # every stage unchanged) — works in streaming mode and on corpora
-    # the filters empty out, where the post-filter schema may be gone
+    # the filters empty out, where the post-filter schema may be gone.
+    # from_pandas datasets carry a PandasBlockSchema (numpy dtypes, no
+    # .field) instead of an Arrow schema — probe both shapes
     in_schema = ds.schema()
-    id_is_int = in_schema is not None and pa.types.is_integer(
-        in_schema.base_schema.field(id_col).type
-    )
+    base = getattr(in_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        id_is_int = pa.types.is_integer(base.field(id_col).type)
+    elif in_schema is not None and id_col in list(in_schema.names):
+        import numpy as _np
+
+        t = dict(zip(in_schema.names, in_schema.types))[id_col]
+        id_is_int = (
+            pa.types.is_integer(t)
+            if isinstance(t, pa.DataType)
+            else _np.issubdtype(_np.dtype(t), _np.integer)
+        )
+    else:
+        id_is_int = False
 
     # 1+2. lang-ID + quality filters (skip_filters=True when the input
     # is already the checkpointed output of lang_quality_filter)
@@ -167,6 +181,14 @@ def curate_corpus(
         if counting:
             cur = cur.materialize()
             st["after_repetition"] = cur.count()
+
+    # 2c'. PII scrub (emails/ips/phones → placeholder tokens) BEFORE
+    # any content hashing, so dedup keys see the redacted text and two
+    # docs differing only in a scrubbed email dedupe together
+    if redact_pii:
+        from kgforge.pii import redact_pii as _redact
+
+        cur = _redact(cur, text_col)
 
     # 2d. eval-benchmark decontamination (broadcast n-gram overlap)
     if decontam_benchmark is not None:
