@@ -88,6 +88,54 @@ def domain_histogram(ds, url_col: str = "url"):
     return out
 
 
+def domain_blocklist_filter(
+    ds,
+    blocked,
+    *,
+    url_col: str = "url",
+    match_subdomains: bool = True,
+):
+    """Drop rows whose domain is on a blocklist (UT1-style): with
+    ``match_subdomains`` (default) a blocked ``example.com`` also blocks
+    ``a.b.example.com``.  The blocklist is host-count-sized (small by
+    contract) — normalized once on the driver, shipped via ``ray.put``,
+    and probed per batch over the batch's UNIQUE domains only (Zipf
+    reuse: a crawl batch has far fewer domains than rows), walking each
+    unique domain's suffix chain against the set.  Null/unparseable
+    urls are kept (no domain → no blocklist evidence)."""
+    import pandas as _pd
+    import ray
+
+    if hasattr(blocked, "take_all"):
+        blocked = [r["domain"] for r in blocked.take_all()]
+    bset = {
+        str(b).strip().lower().lstrip(".").removeprefix("www.")
+        for b in blocked
+        if b and str(b).strip()
+    }
+    bref = ray.put(bset)
+
+    def keep(t: pa.Table) -> pa.Table:
+        doms = domain_of(t[url_col])
+        dn = np.asarray(doms.fill_null(""), dtype=object)
+        codes, uniques = _pd.factorize(dn)
+        bs = ray.get(bref)
+
+        def bad(d: str) -> bool:
+            if not d:
+                return False
+            if not match_subdomains:
+                return d in bs
+            parts = d.split(".")
+            return any(".".join(parts[i:]) in bs for i in range(len(parts)))
+
+        bad_u = np.fromiter((bad(u) for u in uniques), dtype=bool,
+                            count=len(uniques))
+        return t.filter(pa.array(~bad_u[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _ord_array(t: pa.Table, order_col: str | None, id_col: str) -> np.ndarray:
     """float64 rank value, HIGHER = better.  Null order values rank
     last; ``order_col=None`` → deterministic per-id hash (an unbiased

@@ -158,3 +158,34 @@ def test_add_domain_column(ray_session):
     out = add_domain(rd.from_pandas(df)).to_pandas()
     assert "domain" in out.columns
     assert set(out["domain"]) <= set(_DOMAINS)
+
+
+def test_domain_blocklist_filter(ray_session):
+    from kgforge.domainops import domain_blocklist_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "url": [
+                "https://ads.example.com/x",      # subdomain of blocked
+                "https://example.com/y",          # blocked exactly
+                "https://www.example.com/z",      # www-stripped → blocked
+                "https://notexample.com/a",       # different domain: kept
+                "https://fine.org/b",             # kept
+                "https://tracker.net/c",          # blocked exactly
+                None,                             # null url: kept
+                "https://deep.a.b.tracker.net/d", # deep subdomain of blocked
+            ],
+        }
+    )
+    blocked = ["example.com", "Tracker.NET", " www.ignored-empty.com "]
+    kept = (
+        domain_blocklist_filter(rd.from_pandas(df).repartition(3), blocked)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert sorted(kept) == [3, 4, 6]
+    # exact-match mode keeps subdomains
+    kept2 = domain_blocklist_filter(
+        rd.from_pandas(df), blocked, match_subdomains=False
+    ).to_pandas()["doc_id"].tolist()
+    assert sorted(kept2) == [0, 3, 4, 6, 7]
