@@ -91,7 +91,18 @@ def shuffle_shard(
         mode="overwrite",
         **kwargs,
     )
-    return ds.count()
+    # row count from the WRITTEN files' parquet metadata — a ds.count()
+    # here would re-execute the (possibly lazy) input lineage end to end
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(out_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
 
 
 class _OrderedFilenames:
