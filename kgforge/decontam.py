@@ -33,15 +33,13 @@ import pyarrow as pa
 import ray
 
 from .extract_core import stable_u64
-from .relops import _splitmix64
+from .relops import ngram_window_hashes
+from .textops import _ASCII_LOWER
 
 # canonical decontamination window from the GPT-3 appendix; callers
 # lower it for short-answer benchmarks (MMLU-style) where 13 never fires
 DEFAULT_NGRAM = 13
 
-_ASCII_LOWER = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -74,13 +72,9 @@ def _window_hashes(texts: list[str | None], n: int):
         [stable_u64(u, "decontam") for u in uniques], dtype=np.uint64
     )
     th = uhash[codes]
-    L = len(th) - n + 1
-    acc = np.zeros(L, dtype=np.uint64)
-    for j in range(n):
-        acc = _splitmix64(acc ^ th[j : j + L])
-    # a window is valid iff its first and last token are in the same doc
     doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    valid = doc_idx[:L] == doc_idx[n - 1 : n - 1 + L]
+    acc, valid = ngram_window_hashes(th, doc_idx, n)
+    L = len(acc)
     return acc[valid], doc_idx[:L][valid]
 
 

@@ -220,7 +220,13 @@ def domain_cap(
         lambda t: t.filter(t["__cand"]).select(["domain", "__ord", id_col]),
         batch_format="pyarrow",
     ).materialize()
-    id_type = cands.schema().base_schema.field(id_col).type
+    # empty input: no candidates implies no losers anywhere (every
+    # nonempty batch yields rank<k candidates) — and the schema probe
+    # below would crash on a schema-less empty lineage
+    sch = cands.schema()
+    if sch is None or cands.count() == 0:
+        return ds
+    id_type = sch.base_schema.field(id_col).type
 
     if strategy == "auto":
         limit = int(
@@ -259,11 +265,19 @@ def domain_cap(
             )
             if not n:
                 return empty
-            boundary = (d == d[0]) | (d == d[-1])
             order = t["__ord"].to_numpy(zero_copy_only=False)
             ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=object)
             rank = _rank_in_domain(d, order, ids)
-            loser = ~boundary & (rank >= k)
+            # rank >= k within ANY subset of a domain already proves a
+            # global loser — emit those directly even on block-edge
+            # domains, so a hot domain spanning whole blocks ships at
+            # most k rows per block to the driver, not its entire
+            # candidate set; the driver re-ranks only the collected
+            # rank<k edge rows (the true global top-k per edge domain is
+            # a subset of them, since a global top-k row is top-k in its
+            # own block)
+            loser = rank >= k
+            boundary = ((d == d[0]) | (d == d[-1])) & ~loser
             lt = t.filter(pa.array(loser))
             bt = t.filter(pa.array(boundary))
             return pa.table(

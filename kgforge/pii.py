@@ -12,9 +12,10 @@ Pattern notes (the contracts tests pin):
 * email — local@domain.tld with the usual local-part charset; matched
   anywhere (RE2 has no lookbehind, and host-side over-matching is the
   safe direction for a scrubber).
-* ipv4 — four 1-3 digit octets with digit-boundary guards; octet RANGE
-  validation (>255) is deliberately not attempted in-regex: "10.0.0.999"
-  redacts, which again errs toward scrubbing.
+* ipv4 — four 1-3 digit octets with ``\\b`` word-boundary guards (RE2
+  has no lookaround), so "1234.5.6.7890" is NOT chewed mid-number;
+  octet RANGE validation (>255) is deliberately not attempted
+  in-regex: "10.0.0.999" redacts, which errs toward scrubbing.
 * phone — international-ish: optional ``+``, then 9-14 digits
   interspersed with at most TWO separator chars (space ``-`` ``.``
   ``(`` ``)``) between digit groups — "+1 (555) 123-4567" needs two —
@@ -37,7 +38,7 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         "<EMAIL>",
     ),
     "ip": (
-        r"(\d{1,3}\.){3}\d{1,3}",
+        r"\b(\d{1,3}\.){3}\d{1,3}\b",
         "<IP>",
     ),
     "phone": (
@@ -49,18 +50,23 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 def pii_counts(ds, text_col: str = "text", kinds=("email", "ip", "phone")):
     """Annotate each doc with per-kind match counts (``n_pii_email``,
-    …) — the audit pass; counts use the same patterns the redactor
-    applies, in the same order, counted BEFORE any rewrite."""
-    pats = [(k,) + PII_PATTERNS[k] for k in kinds]
+    …) — the audit pass.  Counts are taken over the RESIDUE of the
+    preceding kinds' replacements (same canonical order the redactor
+    uses), so each count equals the number of placeholder tokens that
+    kind would actually emit — a raw-text count would double-report a
+    dotted IP as a phone number the redactor never touches."""
+    ordered = tuple(k for k in PII_PATTERNS if k in set(kinds))
 
     def f(t: pa.Table) -> pa.Table:
         col = pc.cast(t[text_col], pa.string())
-        for k, pat, _ in pats:
+        for k in ordered:
+            pat, repl = PII_PATTERNS[k]
             name = f"n_pii_{k}"
             if name in t.column_names:
                 t = t.drop_columns([name])
             n = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
             t = t.append_column(name, pc.fill_null(n, 0))  # null text → 0
+            col = pc.replace_substring_regex(col, pat, repl)
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")

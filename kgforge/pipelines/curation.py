@@ -162,6 +162,11 @@ def curate_corpus(
     if max_per_domain is not None:
         from kgforge.domainops import domain_cap
 
+        if not counting:
+            # fork pin: domain_cap consumes its input twice (thin
+            # candidate pass + loser anti-join) — streaming mode must
+            # not re-execute the lang/quality filters per consumer
+            cur = cur.materialize()
         cur = domain_cap(
             cur, max_per_domain,
             url_col=url_col, id_col=id_col, order_col=cap_order,

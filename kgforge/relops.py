@@ -139,6 +139,29 @@ def unnest(
 # ---------------------------------------------------------------------------
 
 
+def ngram_window_hashes(
+    th: np.ndarray, doc_idx: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-token window hashes over a batch-flat token-hash
+    stream: ``acc = splitmix64(acc ^ th[j:j+L])`` applied n times over
+    shifted views (order-sensitive), plus the validity mask for windows
+    whose first and last token share a doc.  THE single implementation
+    of this kernel — decontamination and the repetition metrics both
+    build on it, so a hash-schedule change cannot silently diverge.
+
+    Returns ``(acc, valid)`` of length ``L = len(th) - n + 1`` (both
+    empty when L <= 0); callers slice their own per-window payloads
+    (doc ids, char offsets) with the same ``[:L][valid]`` views."""
+    L = len(th) - n + 1
+    if L <= 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=bool)
+    acc = np.zeros(L, dtype=np.uint64)
+    for j in range(n):
+        acc = _splitmix64(acc ^ th[j : j + L])
+    valid = doc_idx[:L] == doc_idx[n - 1 : n - 1 + L]
+    return acc, valid
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — a well-mixed deterministic
     u64→u64 permutation (public constant schedule)."""

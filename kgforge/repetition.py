@@ -116,15 +116,15 @@ def _flat_tokens(texts: list[str | None]):
 
 
 def _window_arrays(th, starts, ends, doc_idx, n):
-    """Valid n-token windows: (hash, doc, char_start, char_end)."""
-    L = len(th) - n + 1
-    if L <= 0:
+    """Valid n-token windows: (hash, doc, char_start, char_end) — the
+    shared ``relops.ngram_window_hashes`` kernel plus char spans."""
+    from .relops import ngram_window_hashes
+
+    acc, valid = ngram_window_hashes(th, doc_idx, n)
+    if not len(acc):
         e = np.array([], dtype=np.int64)
-        return np.array([], dtype=np.uint64), e, e, e
-    acc = np.zeros(L, dtype=np.uint64)
-    for j in range(n):
-        acc = _splitmix64(acc ^ th[j : j + L])
-    valid = doc_idx[:L] == doc_idx[n - 1 : n - 1 + L]
+        return acc, e, e, e
+    L = len(acc)
     return (
         acc[valid],
         doc_idx[:L][valid],
@@ -266,7 +266,15 @@ def gopher_repetition_filter(
     )
     dup_ns = tuple(n for n in DUP_NS if f"dup_{n}gram_char_frac" in th)
     scored = repetition_scores(ds, text_col, top_ns=top_ns, dup_ns=dup_ns)
-    metric_cols = list(th)
+    # drop EVERY computed metric column, not just the thresholded ones —
+    # the line/para metrics are always computed, and a subset-thresholds
+    # call must still restore the input schema when annotate=False
+    metric_cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+    ] + [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
 
     def keep(t: pa.Table) -> pa.Table:
         mask = pa.array(np.ones(t.num_rows, dtype=bool))

@@ -128,14 +128,22 @@ def read_sharded(path: str, *, shards: list[int] | None = None):
     if shards is None:
         return rd.read_parquet(path)
     # Ray 2.49 read_parquet rejects directories inside an explicit path
-    # LIST — expand each shard dir to its files (repo landmine note)
+    # LIST — expand each shard dir to its files (repo landmine note).
+    # A shard that received zero rows has NO shard=k/ directory at all
+    # (write_parquet only creates partitions it writes) — a per-worker
+    # subset read must treat it as empty, not crash
     import os
 
     files = []
     for k in shards:
         d = os.path.join(path, f"shard={k}")
+        if not os.path.isdir(d):
+            continue
         files.extend(
             os.path.join(d, f) for f in sorted(os.listdir(d))
             if f.endswith(".parquet")
         )
+    if not files:
+        # schema-preserving empty read (limit(0) never loads row data)
+        return rd.read_parquet(path).limit(0)
     return rd.read_parquet(files)

@@ -189,3 +189,11 @@ def test_domain_blocklist_filter(ray_session):
         rd.from_pandas(df), blocked, match_subdomains=False
     ).to_pandas()["doc_id"].tolist()
     assert sorted(kept2) == [0, 3, 4, 6, 7]
+
+
+def test_domain_cap_empty_input(ray_session):
+    """A fully-filtered (empty) corpus must pass through, not crash on
+    the schema probe (review fix)."""
+    df = _corpus(5).iloc[0:0]
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    assert domain_cap(ds, 3, order_col="quality").count() == 0

@@ -19,6 +19,7 @@ _DOCS = [
     "",
     None,
     "edge email a@b.io touching punctuation: a@b.io, (a@b.io)",
+    "build 1234.5.6.7890 done and v10.20.30.40 stays",  # NOT ips (\b guards)
 ]
 
 
@@ -56,14 +57,22 @@ def test_pattern_contracts():
     assert "<EMAIL>" in out[3] and "<IP>" in out[3] and "<PHONE>" in out[3]
     assert out[4] == "" and out[5] is None
     assert out[6] == "edge email <EMAIL> touching punctuation: <EMAIL>, (<EMAIL>)"
+    # word-boundary guards: longer dotted numbers and version strings
+    # are not chewed mid-token into partial <IP>s (review fix) — though
+    # "1234.5.6.7890" IS phone-shaped (12 digits, dot separators) and
+    # the phone pass redacts it whole, the documented FP direction
+    assert out[7] == "build <PHONE> done and v10.20.30.40 stays"
 
 
 def test_counts_and_dataset_stage(ray_session):
     ds = rd.from_arrow(_tbl()).repartition(3)
     counts = pii_counts(ds).to_pandas().sort_values("doc_id")
-    assert counts["n_pii_email"].tolist() == [1, 0, 0, 1, 0, 0, 3]
-    assert counts["n_pii_ip"].tolist() == [0, 2, 0, 1, 0, 0, 0]
+    assert counts["n_pii_email"].tolist() == [1, 0, 0, 1, 0, 0, 3, 0]
+    assert counts["n_pii_ip"].tolist() == [0, 2, 0, 1, 0, 0, 0, 0]
     assert counts["n_pii_phone"].iloc[0] == 1
+    # residue-based audit: the dotted IPs in doc 1 are NOT double-
+    # counted as phones — counts equal actual <PHONE> emissions
+    assert counts["n_pii_phone"].iloc[1] == 0
     red = redact_pii(ds).to_pandas().sort_values("doc_id")
     assert "<EMAIL>" in red["text"].iloc[0]
     assert list(red.columns) == ["doc_id", "text"]  # schema unchanged

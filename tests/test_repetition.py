@@ -156,3 +156,13 @@ def test_filter_threshold_subset_and_validation(ray_session):
     assert out.count() == 0
     with pytest.raises(ValueError, match="unknown repetition metrics"):
         gopher_repetition_filter(ds, thresholds={"nope": 0.5})
+
+
+def test_filter_subset_thresholds_restores_schema(ray_session):
+    """annotate=False with a SUBSET thresholds dict must still drop the
+    always-computed line/para metric columns (review fix)."""
+    ds = rd.from_items([{"doc_id": 0, "text": "a perfectly ordinary line"}])
+    out = gopher_repetition_filter(
+        ds, thresholds={"top_2gram_char_frac": 0.5}
+    ).to_pandas()
+    assert list(out.columns) == ["doc_id", "text"]

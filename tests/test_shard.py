@@ -90,3 +90,19 @@ def test_assign_shards_validation_and_columns(ray_session):
     out = assign_shards(ds, 3, seed=2).to_pandas()
     assert set(out["shard"]) <= {0, 1, 2}
     assert "__shuffle_pos" in out.columns
+
+
+def test_read_sharded_empty_shard_is_empty_not_crash(ray_session, tmp_path):
+    """A shard that received zero rows has no shard=k/ dir; a subset
+    read of it must return an empty dataset (review fix)."""
+    df = _corpus(3)
+    p = str(tmp_path / "tiny")
+    shuffle_shard(rd.from_pandas(df), p, 8, seed=1)
+    present = {int(d.split("=")[1]) for d in os.listdir(p) if d.startswith("shard=")}
+    missing = sorted(set(range(8)) - present)
+    assert missing  # 3 rows into 8 shards always leaves empty shards
+    got = read_sharded(p, shards=[missing[0]])
+    assert got.count() == 0
+    # mixed subset: one empty + one present
+    got2 = read_sharded(p, shards=[missing[0], sorted(present)[0]])
+    assert got2.count() >= 1
