@@ -1,0 +1,95 @@
+"""SemDeDup-style clustered semantic dedup (kgforge/semdedup.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from kgforge.semdedup import cluster_assign, semantic_dedup
+
+DIM = 16
+
+
+def _corpus(seed=0, proto_noise=0.5):
+    """Two well-separated topics; within each, groups of near-identical
+    vectors (tiny noise) plus distinct singletons.  With the anchor norm
+    ~10, ``proto_noise=0.5`` keeps prototypes >0.95 cosine to each other
+    (groups merge under SemDeDup); pass ~3.0 to keep the groups distinct."""
+    rng = np.random.RandomState(seed)
+    base_a = rng.randn(DIM); base_a[0] += 10        # topic A anchor
+    base_b = rng.randn(DIM); base_b[1] -= 10        # topic B anchor
+    rows = []
+    vid = 0
+
+    def add(vec):
+        nonlocal vid
+        rows.append({"vec_id": vid, "embedding": vec.astype(np.float32).tolist()})
+        vid += 1
+
+    for base in (base_a, base_b):
+        for g in range(3):                          # 3 dup-groups per topic
+            proto = base + rng.randn(DIM) * proto_noise
+            for _ in range(4):                      # 4 near-copies each
+                add(proto + rng.randn(DIM) * 1e-3)
+        for _ in range(5):                          # 5 distinct singletons
+            add(base + rng.randn(DIM) * 2.0)
+    return pd.DataFrame(rows)
+
+
+def _oracle_keep(df, threshold):
+    """Global greedy in ascending id order (valid here because the dup
+    groups are far apart, so clustering never splits one)."""
+    mats = np.asarray([np.asarray(v) for v in df["embedding"]], dtype=np.float32)
+    mats = mats / np.linalg.norm(mats, axis=1, keepdims=True)
+    kept = []
+    for i in range(len(df)):
+        if kept and (mats[kept] @ mats[i]).max() > threshold:
+            continue
+        kept.append(i)
+    return sorted(df["vec_id"].iloc[kept])
+
+
+def test_semantic_dedup_drops_planted_near_copies(ray_session):
+    df = _corpus(proto_noise=3.0)
+    ds = rd.from_pandas(df).repartition(4)
+    kept = semantic_dedup(ds, threshold=0.95, n_clusters=2)
+    got = sorted(kept.to_pandas()["vec_id"])
+    assert got == _oracle_keep(df, 0.95)
+    # 6 dup-groups collapse to 1 each + 10 singletons survive
+    assert len(got) == 6 + 10
+    assert list(kept.to_pandas().columns) == ["vec_id", "embedding"]
+
+
+def test_layout_and_rerun_determinism(ray_session):
+    df = _corpus(3)
+    a = sorted(
+        semantic_dedup(rd.from_pandas(df).repartition(3), 0.95, n_clusters=2)
+        .to_pandas()["vec_id"]
+    )
+    b = sorted(
+        semantic_dedup(rd.from_pandas(df).repartition(9), 0.95, n_clusters=2)
+        .to_pandas()["vec_id"]
+    )
+    assert a == b
+
+
+def test_threshold_one_keeps_all_and_validation(ray_session):
+    df = _corpus(5)
+    ds = rd.from_pandas(df)
+    assert semantic_dedup(ds, threshold=1.0, n_clusters=2).count() == len(df)
+    with pytest.raises(ValueError):
+        semantic_dedup(ds, threshold=1.5)
+
+
+def test_cluster_assign_columns(ray_session):
+    df = _corpus(7)
+    out = cluster_assign(rd.from_pandas(df), 2).to_pandas()
+    assert {"cluster", "centroid_sim"} <= set(out.columns)
+    assert out["cluster"].nunique() <= 2
+    assert (out["centroid_sim"] <= 1.0 + 1e-6).all()
+    # the two topics separate almost perfectly
+    topic = out["vec_id"] < len(df) // 2
+    dominant = out[topic]["cluster"].mode()[0]
+    assert (out[topic]["cluster"] == dominant).mean() > 0.9
