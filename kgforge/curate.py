@@ -281,6 +281,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub emails/ips/phones to placeholder tokens "
                         "before dedup")
+    p.add_argument("--semdedup-threshold", type=float, default=None,
+                   help="enable the SemDeDup semantic near-dup stage at this "
+                        "cosine threshold (embeds via --semdedup-encoder)")
+    p.add_argument("--semdedup-clusters", type=int, default=None,
+                   help="k-means cluster count for SemDeDup (default ~N/1024)")
+    p.add_argument("--semdedup-encoder", default="hashed_bow",
+                   help="registered encoder name for the SemDeDup embeddings")
     p.add_argument("--n-shards", type=int, default=0,
                    help="after curation, write <out>/shards/shard=K/ as a "
                         "deterministic global shuffle of the curated docs")
@@ -358,6 +365,9 @@ def main(argv: list[str] | None = None) -> None:
         max_per_domain=args.max_per_domain,
         url_col=args.url_col,
         redact_pii=args.redact_pii,
+        semdedup_threshold=args.semdedup_threshold,
+        semdedup_clusters=args.semdedup_clusters,
+        semdedup_encoder=args.semdedup_encoder,
     )
     import pyarrow as pa
 

@@ -100,6 +100,9 @@ def curate_corpus(
     max_per_domain: int | None = None,
     url_col: str = "url",
     redact_pii: bool = False,
+    semdedup_threshold: float | None = None,
+    semdedup_clusters: int | None = None,
+    semdedup_encoder: str = "hashed_bow",
 ) -> CurationResult:
     """Optional hygiene stages (all off by default, each the library
     operator it names): ``repetition`` (True = Gopher Table A1
@@ -109,7 +112,17 @@ def curate_corpus(
     docs per site (requires ``url_col`` on the input; ranked by
     quality_score when the filters ran here, else a seeded hash
     sample).  All three are per-doc / broadcast stages — no extra
-    corpus shuffle."""
+    corpus shuffle.
+
+    ``semdedup_threshold`` enables the SemDeDup semantic near-dup stage
+    after the LSH drop: docs are embedded through the pluggable
+    ``semdedup_encoder`` (encoder protocol; hashed BoW by default, a
+    learned model on clusters that have one), clustered, and
+    within-cluster cosine near-identicals above the threshold dropped
+    (deterministic min-id keeper).  Only a THIN (id, embedding) table
+    moves through the clustering; the drop ids come back through the
+    same Bloom-gated ``apply_drop_ds`` the LSH stage uses, so the wide
+    rows never shuffle and cost scales with the drop rate."""
     if stats not in ("counts", "none"):
         raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
     counting = stats == "counts"
@@ -280,6 +293,37 @@ def curate_corpus(
         # the post-neardup corpus (apply_drop_ds pinned its keyed input,
         # but re-running the anti-join per consumer is still a shuffle)
         cur = cur.materialize()
+
+    # 4b. SemDeDup semantic near-dup drop: embed a THIN (id, text)
+    #     projection via the encoder protocol, cluster + greedy-scan the
+    #     (id, embedding) table (semantic_dedup_drops materializes its
+    #     own input once), then anti-join the drop ids back — the wide
+    #     rows never enter the clustering shuffle.  cur is materialized
+    #     on every path reaching here, so the two consumers (embed pass
+    #     + drop application) never re-execute upstream lineage.
+    if semdedup_threshold is not None:
+        from kgforge.encoder import embed_texts
+        from kgforge.semdedup import semantic_dedup_drops
+
+        thin = embed_texts(
+            cur.select_columns([id_col, text_col]), text_col,
+            encoder=semdedup_encoder,
+        ).select_columns([id_col, "embedding"])
+        sem_drops = semantic_dedup_drops(
+            thin, semdedup_threshold,
+            n_clusters=semdedup_clusters, id_col=id_col,
+        )
+        n_sem = sem_drops.count()
+        if n_sem:
+            cur = apply_drop_ds(cur, sem_drops, key_col=id_col)
+        st["semdedup_dropped"] = n_sem
+        if counting:
+            cur = cur.materialize()
+            st["after_semdedup"] = cur.count()
+        elif n_sem:
+            # fork pin: survivor index + paragraph dedup both consume
+            # the post-semdedup corpus
+            cur = cur.materialize()
 
     # the shard's contribution to the corpus index: survivors' ORIGINAL
     # text (stage 3b checks pre-paragraph-rewrite content)

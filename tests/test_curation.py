@@ -579,6 +579,40 @@ def test_curate_corpus_hygiene_stages(ray_session):
     assert res2.stats["after_domain_cap"] == 8  # 4 sites × 2
 
 
+def test_curate_corpus_semdedup_stage(ray_session):
+    """SemDeDup catches what LSH structurally cannot: a word-scrambled
+    copy shares almost no shingles with its source (low Jaccard → LSH
+    keeps it) but has the IDENTICAL bag-of-words embedding (cosine 1.0
+    → SemDeDup drops it, min-id keeper)."""
+    docs = _corpus()
+    hdr, body5, ftr = docs.loc[5, "text"].split("\n\n")
+    scrambled = " ".join(reversed(body5.split()))
+    docs.loc[len(docs)] = [102, f"{hdr}\n\n{scrambled}\n\n{ftr}"]
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    base = curate_corpus(ds, min_quality=0.2, neardup_threshold=0.6, pack=False)
+    assert 102 in set(base.docs.to_pandas()["doc_id"])  # LSH keeps it
+
+    res = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, pack=False,
+        semdedup_threshold=0.95,
+    )
+    s = res.stats
+    out_ids = set(res.docs.to_pandas()["doc_id"])
+    assert 102 not in out_ids and 5 in out_ids
+    assert s["semdedup_dropped"] == 1
+    assert s["after_semdedup"] == s["after_neardup"] - 1
+
+    # streaming mode: same survivors, no per-stage counts
+    res_s = curate_corpus(
+        ds, min_quality=0.2, neardup_threshold=0.6, pack=False,
+        semdedup_threshold=0.95, stats="none",
+    )
+    assert set(res_s.docs.to_pandas()["doc_id"]) == out_ids
+    assert "after_semdedup" not in res_s.stats
+    assert res_s.stats["semdedup_dropped"] == 1
+
+
 def test_curate_cli_shards_and_hygiene(ray_session, tmp_path):
     """CLI: --repetition-filter, --decontam-benchmark (.txt), and
     --n-shards write deterministic shard dirs of the curated docs."""

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from kgforge.semdedup import cluster_assign, semantic_dedup
+from kgforge.semdedup import cluster_assign, semantic_dedup, semantic_dedup_drops
 
 DIM = 16
 
@@ -81,6 +81,22 @@ def test_threshold_one_keeps_all_and_validation(ray_session):
     assert semantic_dedup(ds, threshold=1.0, n_clusters=2).count() == len(df)
     with pytest.raises(ValueError):
         semantic_dedup(ds, threshold=1.5)
+
+
+def test_drops_complement_keeps(ray_session):
+    df = _corpus(1, proto_noise=3.0)
+    ds = rd.from_pandas(df).repartition(4)
+    kept = sorted(
+        semantic_dedup(ds, 0.95, n_clusters=2).to_pandas()["vec_id"]
+    )
+    drops = sorted(
+        semantic_dedup_drops(ds, 0.95, n_clusters=2).to_pandas()["vec_id"]
+    )
+    assert sorted(kept + drops) == sorted(df["vec_id"])
+    assert set(kept).isdisjoint(drops)
+    assert len(drops) == 6 * 3                  # 3 dropped per 4-copy group
+    # nothing to drop at threshold 1.0
+    assert semantic_dedup_drops(ds, 1.0, n_clusters=2).count() == 0
 
 
 def test_cluster_assign_columns(ray_session):
