@@ -287,6 +287,21 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         shuffle_shard(docs_ds, shard_dir, 8, id_col="doc_id", seed=1)
         extras["shuffle_shard_sec"] = round(time.perf_counter() - t0, 3)
 
+        # SemDeDup: encoder-protocol embedding → k-means clustering →
+        # within-cluster cosine drop, over the documents table
+        from kgforge.encoder import embed_texts
+        from kgforge.semdedup import semantic_dedup_drops
+
+        t0 = time.perf_counter()
+        thin = embed_texts(docs_ds, "text").select_columns(
+            ["doc_id", "embedding"]
+        )
+        n_sem = semantic_dedup_drops(thin, 0.9, id_col="doc_id").count()
+        sem_sec = time.perf_counter() - t0
+        extras["semdedup_sec"] = round(sem_sec, 3)
+        extras["semdedup_docs_per_sec"] = round(n_docs / sem_sec, 1)
+        extras["semdedup_dropped_docs"] = n_sem
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
