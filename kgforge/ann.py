@@ -94,14 +94,18 @@ def train_centroids(ds, n_centroids: int | None = 16, sample_mod: int | None = 5
     ``n_centroids=None`` sizes the codebook at ~√N (the classic IVF
     sizing: ~√N cells × ~√N rows/cell balances probe cost against scan
     cost); ``sample_mod=None`` then picks the modulus so the training
-    sample is ~64 rows per centroid (the sample is the only
-    driver-materialized structure: 64·√N rows, ~2 M at N = 10⁹)."""
+    sample is ~64 rows per centroid, CAPPED at
+    ``KGFORGE_CENTROID_SAMPLE_CAP`` rows (default 2²⁰ ≈ 1 M — the
+    sample is the only driver-materialized structure; without the cap a
+    large-k caller like semdedup's N/1024 sizing would gather N/16 rows
+    onto the driver)."""
     if n_centroids is None or sample_mod is None:
         n_rows = ds.count()
         if n_centroids is None:
             n_centroids = max(16, int(round(np.sqrt(max(n_rows, 1)))))
         if sample_mod is None:
-            sample_mod = max(1, n_rows // max(64 * n_centroids, 1))
+            cap = int(os.environ.get("KGFORGE_CENTROID_SAMPLE_CAP", 1 << 20))
+            sample_mod = max(1, n_rows // max(min(64 * n_centroids, cap), 1))
     import pyarrow as pa_
     import pyarrow.compute as pc_
 
@@ -134,15 +138,25 @@ def train_centroids(ds, n_centroids: int | None = 16, sample_mod: int | None = 5
     mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    # segment-mean update via per-dimension bincount — the per-centroid
+    # Python loop it replaces was O(k·sample) masked scans per
+    # iteration, which dominates at √N (k≈31k) and larger codebooks
+    k = len(cent)
     for _ in range(iters):
         assign = (mat @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = mat[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+        counts = np.bincount(assign, minlength=k)
+        sums = np.stack(
+            [np.bincount(assign, weights=mat[:, j], minlength=k)
+             for j in range(mat.shape[1])],
+            axis=1,
+        )
+        nz = counts > 0
+        v = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(v, axis=1)
+        ok = norms > 0
+        cent[np.flatnonzero(nz)[ok]] = (v[ok] / norms[ok, None]).astype(
+            np.float32
+        )
     return cent
 
 

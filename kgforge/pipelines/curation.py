@@ -309,10 +309,13 @@ def curate_corpus(
             cur.select_columns([id_col, text_col]), text_col,
             encoder=semdedup_encoder,
         ).select_columns([id_col, "embedding"])
+        # pin the drop side: count() here and apply_drop_ds's internal
+        # materialize are two consumers — unpinned, the clustering
+        # shuffle and greedy scan would execute twice
         sem_drops = semantic_dedup_drops(
             thin, semdedup_threshold,
             n_clusters=semdedup_clusters, id_col=id_col,
-        )
+        ).materialize()
         n_sem = sem_drops.count()
         if n_sem:
             cur = apply_drop_ds(cur, sem_drops, key_col=id_col)

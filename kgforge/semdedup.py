@@ -6,14 +6,18 @@ would also catch are, by construction of the clustering, the distant
 ones a threshold this high would not drop anyway).
 
 Scale shape: the quantizer is trained once on a deterministic hash
-sample and broadcast (`ann.train_centroids`); assignment is one
-vectorized ``map_batches``; the dedup itself is a
-``groupby(cluster).map_groups`` whose per-group work is an m×m
-similarity matmul + a deterministic greedy scan.  Choose ``n_clusters``
-so m stays matmul-sized — the default targets ~1k rows per cluster
+sample (size-capped — see ``ann.train_centroids``) and broadcast;
+assignment is one vectorized ``map_batches``; the dedup itself is a
+``groupby(cluster).map_groups`` whose per-group work is one m×m Gram
+matmul + a deterministic greedy scan.  Choose ``n_clusters`` so m
+stays matmul-sized — the default targets ~1k rows per cluster
 (``N/1024`` clusters), the published SemDeDup operating point; the ~√N
 IVF sizing would leave √N-sized clusters whose m² blows up at corpus
-scale.
+scale.  Beyond ~10⁸ rows the driver-trained quantizer itself becomes
+the bound (the training matmul is sample×k); at that point train the
+codebook hierarchically (cluster a sample's sample, then refine per
+coarse cell) and pass it through ``n_clusters``-trained centroids via
+``ann.ivf_assign`` — the per-group dedup kernel is unchanged.
 
 Pipelines on TEXT corpora compose this with the encoder protocol and
 the Bloom-gated drop application so cost scales with the DROP rate,
@@ -25,10 +29,38 @@ corpus — the wide rows never shuffle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 from .ann import _normalize, ivf_assign, train_centroids
+
+#: per-cluster row count above which the greedy scan switches from ONE
+#: m×m Gram matmul (fastest; m²·4 B ≤ 256 MB at the default) to an
+#: incremental preallocated-buffer scan (same flops, O(m·d) memory).
+GRAM_LIMIT = 8192
+
+
+def _clustered(ds, n_clusters, *, vec_col, id_col, seed):
+    """Materialize the input once (training + assignment are separate
+    consumers of the lineage), train the codebook, and tag every row
+    with its ``cluster`` id — no similarity column, which the dedup
+    paths would only throw away."""
+    ds = ds.materialize()
+    if n_clusters is None:
+        n_clusters = max(4, int(round(ds.count() / 1024)))
+    cent = train_centroids(
+        ds, n_centroids=n_clusters, sample_mod=None,
+        seed=seed, vec_col=vec_col, id_col=id_col,
+    )
+    assigned = ivf_assign(ds, cent, id_col=id_col, vec_col=vec_col)
+    return assigned.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "ivf_cell" else "cluster" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    ), cent
 
 
 def cluster_assign(
@@ -41,59 +73,78 @@ def cluster_assign(
 ):
     """Annotate rows with ``cluster`` (nearest k-means centroid) and
     ``centroid_sim`` (cosine similarity to it).  ``n_clusters=None`` →
-    ~N/1024 clusters (min 4).
-
-    The input is materialized once up front: centroid training and the
-    assignment pass are separate consumers, and on a lazy input the
-    upstream lineage would otherwise re-execute per consumer (same
-    hazard ``ivf_build`` guards against)."""
-    ds = ds.materialize()
-    if n_clusters is None:
-        n_clusters = max(4, int(round(ds.count() / 1024)))
-    cent = train_centroids(
-        ds, n_centroids=n_clusters, sample_mod=None,
-        seed=seed, vec_col=vec_col, id_col=id_col,
+    ~N/1024 clusters (min 4)."""
+    clustered, cent = _clustered(
+        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
     )
-    assigned = ivf_assign(ds, cent, id_col=id_col, vec_col=vec_col)
 
     def sim(t: pa.Table) -> pa.Table:
         mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
-        cell = t["ivf_cell"].to_numpy(zero_copy_only=False)
+        cell = t["cluster"].to_numpy(zero_copy_only=False)
         s = np.einsum("ij,ij->i", mat, cent[cell]).astype(np.float64)
-        t = t.rename_columns(
-            [c if c != "ivf_cell" else "cluster" for c in t.column_names]
-        )
         return t.append_column("centroid_sim", pa.array(s, pa.float64()))
 
-    return assigned.map_batches(sim, batch_format="pyarrow")
+    return clustered.map_batches(sim, batch_format="pyarrow")
 
 
-def _greedy_keep(df, threshold: float, id_col: str, vec_col: str) -> np.ndarray:
+def _greedy_keep(df, threshold: float, vec_col: str) -> np.ndarray:
     """Deterministic SemDeDup scan over ONE cluster's frame (must be
-    pre-sorted by ``id_col``): a row is kept iff no already-kept row's
-    cosine similarity exceeds the threshold.  Returns the keep mask."""
+    pre-sorted by id): a row is kept iff no already-kept row's cosine
+    similarity exceeds the threshold.  Returns the keep mask.
+
+    Cosines are clipped at 1.0: float32 dots of near-identical unit
+    vectors can round just above it, which would make threshold=1.0
+    drop rows whose true cosine is exactly 1 — a cosine is never > 1."""
+    m = len(df)
+    keep = np.zeros(m, dtype=bool)
+    if m == 0:
+        return keep
     mat = _normalize(
         np.asarray([np.asarray(v) for v in df[vec_col]], dtype=np.float32)
     )
-    m = len(df)
-    keep = np.zeros(m, dtype=bool)
-    kept_rows: list[int] = []
-    for i in range(m):
-        # clip: float32 dots of near-identical unit vectors can round
-        # to just above 1.0, which would make threshold=1.0 drop rows
-        # whose true cosine is exactly 1 — a cosine is never > 1
-        if kept_rows and min(
-            (mat[kept_rows] @ mat[i]).max(), 1.0
-        ) > threshold:
-            continue
-        keep[i] = True
-        kept_rows.append(i)
+    limit = int(os.environ.get("KGFORGE_SEMDEDUP_GRAM_ROWS", GRAM_LIMIT))
+    kept: list[int] = []
+    if m <= limit:
+        # one BLAS call; the scan then only slices Gram rows (no d factor)
+        gram = np.minimum(mat @ mat.T, 1.0)
+        for i in range(m):
+            if kept and gram[i, kept].max() > threshold:
+                continue
+            keep[i] = True
+            kept.append(i)
+    else:
+        # same flops, O(m·d) memory: kept rows append into a
+        # preallocated buffer (no per-row fancy-index re-copy)
+        buf = np.empty_like(mat)
+        n = 0
+        for i in range(m):
+            if n and min((buf[:n] @ mat[i]).max(), 1.0) > threshold:
+                continue
+            keep[i] = True
+            buf[n] = mat[i]
+            n += 1
     return keep
 
 
 def _check_threshold(threshold: float) -> None:
     if not -1.0 <= threshold <= 1.0:
         raise ValueError("threshold must be a cosine similarity in [-1, 1]")
+
+
+def _dedup_groups(ds, threshold, n_clusters, vec_col, id_col, seed, project):
+    """Shared SemDeDup plan: cluster, then per group sort-by-id, greedy
+    scan, and ``project(df, keep_mask)`` — the ONLY difference between
+    the keep-side and drop-side forms."""
+    _check_threshold(threshold)
+    clustered, _cent = _clustered(
+        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+
+    def group_fn(df):
+        df = df.sort_values(id_col, ignore_index=True)
+        return project(df, _greedy_keep(df, threshold, vec_col))
+
+    return clustered.groupby("cluster").map_groups(group_fn)
 
 
 def semantic_dedup(
@@ -113,17 +164,10 @@ def semantic_dedup(
     WITHIN a cluster (the clustering itself decides which pairs are
     even compared; same seed → same clustering).  Output schema equals
     the input schema."""
-    _check_threshold(threshold)
-    clustered = cluster_assign(
-        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+    return _dedup_groups(
+        ds, threshold, n_clusters, vec_col, id_col, seed,
+        lambda df, keep: df[keep].drop(columns=["cluster"]),
     )
-
-    def dedupe(df):
-        df = df.sort_values(id_col, ignore_index=True)
-        keep = _greedy_keep(df, threshold, id_col, vec_col)
-        return df[keep].drop(columns=["cluster", "centroid_sim"])
-
-    return clustered.groupby("cluster").map_groups(dedupe)
 
 
 def semantic_dedup_drops(
@@ -142,14 +186,7 @@ def semantic_dedup_drops(
     (broadcast ``is_in`` below the threshold, Bloom + anti-join above)
     moves O(dropped) rows where the keep-side form would re-emit every
     survivor through the groupby."""
-    _check_threshold(threshold)
-    clustered = cluster_assign(
-        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+    return _dedup_groups(
+        ds, threshold, n_clusters, vec_col, id_col, seed,
+        lambda df, keep: df[~keep][[id_col]],
     )
-
-    def drops(df):
-        df = df.sort_values(id_col, ignore_index=True)
-        keep = _greedy_keep(df, threshold, id_col, vec_col)
-        return df[~keep][[id_col]]
-
-    return clustered.groupby("cluster").map_groups(drops)
