@@ -99,6 +99,26 @@ def test_drops_complement_keeps(ray_session):
     assert semantic_dedup_drops(ds, 1.0, n_clusters=2).count() == 0
 
 
+def test_greedy_keep_gram_equals_buffer(monkeypatch):
+    """The one-Gram-matmul fast path and the O(m·d)-memory buffer
+    fallback implement the same scan (pure unit test — the env switch
+    must be read in THIS process, not a Ray worker)."""
+    from kgforge.semdedup import _greedy_keep
+
+    rng = np.random.RandomState(11)
+    vecs = list(rng.randn(40, DIM).astype(np.float32))
+    for i in range(0, 30, 3):                    # planted near-copies
+        vecs[i + 1] = vecs[i] + rng.randn(DIM).astype(np.float32) * 1e-3
+    df = pd.DataFrame({"embedding": [v.tolist() for v in vecs]})
+    for thr in (0.5, 0.9, 0.95, 1.0):
+        a = _greedy_keep(df, thr, "embedding")
+        monkeypatch.setenv("KGFORGE_SEMDEDUP_GRAM_ROWS", "0")
+        b = _greedy_keep(df, thr, "embedding")
+        monkeypatch.delenv("KGFORGE_SEMDEDUP_GRAM_ROWS")
+        assert (a == b).all(), thr
+        assert a.any()
+
+
 def test_cluster_assign_columns(ray_session):
     df = _corpus(7)
     out = cluster_assign(rd.from_pandas(df), 2).to_pandas()
