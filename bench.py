@@ -287,6 +287,20 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         shuffle_shard(docs_ds, shard_dir, 8, id_col="doc_id", seed=1)
         extras["shuffle_shard_sec"] = round(time.perf_counter() - t0, 3)
 
+        # learned quality filter: train a tiny seed-vs-web model (cost
+        # is all in the distributed scoring pass, which is what scales)
+        from kgforge.qualityclf import score_quality, train_quality_classifier
+
+        seed_texts = [r["text"] for r in docs_ds.take(100)]
+        junk = [" ".join(reversed((t or "").split()))[:200] + " click free bonus"
+                for t in seed_texts]
+        qm = train_quality_classifier(seed_texts, junk, iters=100)
+        t0 = time.perf_counter()
+        n_scored = score_quality(docs_ds, qm).count()
+        q_sec = time.perf_counter() - t0
+        extras["qualityclf_score_sec"] = round(q_sec, 3)
+        extras["qualityclf_docs_per_sec"] = round(n_scored / q_sec, 1)
+
         # SemDeDup: encoder-protocol embedding → k-means clustering →
         # within-cluster cosine drop, over the documents table
         from kgforge.encoder import embed_texts

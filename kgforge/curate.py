@@ -281,6 +281,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub emails/ips/phones to placeholder tokens "
                         "before dedup")
+    p.add_argument("--quality-model", default=None,
+                   help="path to a qualityclf .npz model; docs scoring below "
+                        "--quality-model-threshold drop")
+    p.add_argument("--quality-model-threshold", type=float, default=0.5)
     p.add_argument("--semdedup-threshold", type=float, default=None,
                    help="enable the SemDeDup semantic near-dup stage at this "
                         "cosine threshold (embeds via --semdedup-encoder)")
@@ -347,6 +351,11 @@ def main(argv: list[str] | None = None) -> None:
             bench = pq.read_table(
                 args.decontam_benchmark, columns=[args.text_col]
             )[args.text_col].to_pylist()
+    qmodel = None
+    if args.quality_model is not None:
+        from kgforge.qualityclf import load_model
+
+        qmodel = load_model(args.quality_model)
     res = curate_corpus(
         in_ds,
         id_col=args.id_col,
@@ -368,6 +377,8 @@ def main(argv: list[str] | None = None) -> None:
         semdedup_threshold=args.semdedup_threshold,
         semdedup_clusters=args.semdedup_clusters,
         semdedup_encoder=args.semdedup_encoder,
+        quality_model=qmodel,
+        quality_model_threshold=args.quality_model_threshold,
     )
     import pyarrow as pa
 

@@ -103,6 +103,8 @@ def curate_corpus(
     semdedup_threshold: float | None = None,
     semdedup_clusters: int | None = None,
     semdedup_encoder: str = "hashed_bow",
+    quality_model=None,
+    quality_model_threshold: float = 0.5,
 ) -> CurationResult:
     """Optional hygiene stages (all off by default, each the library
     operator it names): ``repetition`` (True = Gopher Table A1
@@ -122,7 +124,13 @@ def curate_corpus(
     (deterministic min-id keeper).  Only a THIN (id, embedding) table
     moves through the clustering; the drop ids come back through the
     same Bloom-gated ``apply_drop_ds`` the LSH stage uses, so the wide
-    rows never shuffle and cost scales with the drop rate."""
+    rows never shuffle and cost scales with the drop rate.
+
+    ``quality_model`` (a ``qualityclf.QualityModel``) adds the
+    CCNet/GPT-3-style learned seed-vs-web filter after the heuristic
+    filters: docs scoring below ``quality_model_threshold`` drop.  One
+    vectorized ``map_batches`` — the model is a broadcast-sized weight
+    vector, no shuffle."""
     if stats not in ("counts", "none"):
         raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
     counting = stats == "counts"
@@ -169,6 +177,17 @@ def curate_corpus(
     if counting:
         cur = cur.materialize()
         st["after_lang_quality"] = cur.count()
+
+    # 2a'. learned quality filter (seed-vs-web logistic regression)
+    if quality_model is not None:
+        from kgforge.qualityclf import quality_classifier_filter
+
+        cur = quality_classifier_filter(
+            cur, quality_model, quality_model_threshold, text_col
+        )
+        if counting:
+            cur = cur.materialize()
+            st["after_quality_model"] = cur.count()
 
     # 2b. per-domain quota, ranked by the quality score the filters
     # just computed (seeded-hash sample on pre-filtered inputs)

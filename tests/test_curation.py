@@ -613,6 +613,77 @@ def test_curate_corpus_semdedup_stage(ray_session):
     assert res_s.stats["semdedup_dropped"] == 1
 
 
+def test_curate_corpus_quality_model_stage(ray_session):
+    """The learned seed-vs-web filter drops spam the heuristic quality
+    score passes (real English words, normal punctuation)."""
+    import numpy as np
+
+    from kgforge.qualityclf import train_quality_classifier
+
+    docs = _corpus()
+    spam_words = ("click free winner casino bonus jackpot offer credit "
+                  "loan prize claim deal").split()
+    rng = np.random.RandomState(7)
+    spam = " ".join(rng.choice(spam_words, size=40))
+    docs.loc[len(docs)] = [400, f"{HEADER}\n\n{spam}\n\n{FOOTER}"]
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    pos = [_en_body(500 + i) for i in range(40)]
+    neg = [" ".join(rng.choice(spam_words, size=40)) for _ in range(40)]
+    model = train_quality_classifier(pos, neg)
+
+    res = curate_corpus(ds, min_quality=0.2, neardup_threshold=0.6,
+                        pack=False, quality_model=model)
+    s = res.stats
+    out_ids = set(res.docs.to_pandas()["doc_id"])
+    assert 400 not in out_ids
+    assert s["after_quality_model"] == s["after_lang_quality"] - 1
+    assert set(range(30)) <= out_ids
+
+
+def test_curate_cli_quality_model(ray_session, tmp_path):
+    """--quality-model loads a saved .npz and the stage runs in the CLI
+    path (stats ledger shows the attrition)."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+    from kgforge.qualityclf import save_model, train_quality_classifier
+
+    docs = _corpus()
+    spam_words = ("click free winner casino bonus jackpot offer credit "
+                  "loan prize claim deal").split()
+    rng = np.random.RandomState(13)
+    docs.loc[len(docs)] = [
+        400, f"{HEADER}\n\n{' '.join(rng.choice(spam_words, size=40))}\n\n{FOOTER}"
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), str(in_dir / "p.parquet")
+    )
+    model = train_quality_classifier(
+        [_en_body(500 + i) for i in range(40)],
+        [" ".join(rng.choice(spam_words, size=40)) for _ in range(40)],
+    )
+    mpath = tmp_path / "qm.npz"
+    save_model(model, str(mpath))
+    out = tmp_path / "out"
+    curate_main([
+        "--input", str(in_dir), "--out", str(out),
+        "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
+        "--quality-model", str(mpath),
+    ])
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["after_quality_model"] == stats["after_lang_quality"] - 1
+    out_ids = set(
+        pq.read_table(str(out / "docs"), columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    assert 400 not in out_ids and set(range(30)) <= out_ids
+
+
 def test_curate_cli_shards_and_hygiene(ray_session, tmp_path):
     """CLI: --repetition-filter, --decontam-benchmark (.txt), and
     --n-shards write deterministic shard dirs of the curated docs."""
