@@ -301,6 +301,21 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         extras["qualityclf_score_sec"] = round(q_sec, 3)
         extras["qualityclf_docs_per_sec"] = round(n_scored / q_sec, 1)
 
+        # n-gram LM: distributed hashed-count training over the docs
+        # table, then the broadcast stupid-backoff scoring pass
+        from kgforge.ngramlm import score_perplexity, train_ngram_lm
+
+        t0 = time.perf_counter()
+        lm = train_ngram_lm(docs_ds, n=3)
+        lm_train_sec = time.perf_counter() - t0
+        extras["ngramlm_train_sec"] = round(lm_train_sec, 3)
+        extras["ngramlm_entries"] = int(len(lm.keys))
+        t0 = time.perf_counter()
+        n_scored = score_perplexity(docs_ds, lm).count()
+        lm_sec = time.perf_counter() - t0
+        extras["ngramlm_score_sec"] = round(lm_sec, 3)
+        extras["ngramlm_docs_per_sec"] = round(n_scored / lm_sec, 1)
+
         # SemDeDup: encoder-protocol embedding → k-means clustering →
         # within-cluster cosine drop, over the documents table
         from kgforge.encoder import embed_texts

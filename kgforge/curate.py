@@ -285,6 +285,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="path to a qualityclf .npz model; docs scoring below "
                         "--quality-model-threshold drop")
     p.add_argument("--quality-model-threshold", type=float, default=0.5)
+    p.add_argument("--lm-model", default=None,
+                   help="path to an ngramlm .npz; docs with pseudo-perplexity "
+                        "above --max-perplexity drop")
+    p.add_argument("--max-perplexity", type=float, default=None)
     p.add_argument("--semdedup-threshold", type=float, default=None,
                    help="enable the SemDeDup semantic near-dup stage at this "
                         "cosine threshold (embeds via --semdedup-encoder)")
@@ -356,6 +360,13 @@ def main(argv: list[str] | None = None) -> None:
         from kgforge.qualityclf import load_model
 
         qmodel = load_model(args.quality_model)
+    lm = None
+    if args.lm_model is not None:
+        if args.max_perplexity is None:
+            raise SystemExit("--lm-model requires --max-perplexity")
+        from kgforge.ngramlm import load_lm
+
+        lm = load_lm(args.lm_model)
     res = curate_corpus(
         in_ds,
         id_col=args.id_col,
@@ -379,6 +390,8 @@ def main(argv: list[str] | None = None) -> None:
         semdedup_encoder=args.semdedup_encoder,
         quality_model=qmodel,
         quality_model_threshold=args.quality_model_threshold,
+        perplexity_lm=lm,
+        max_perplexity=args.max_perplexity,
     )
     import pyarrow as pa
 

@@ -105,6 +105,8 @@ def curate_corpus(
     semdedup_encoder: str = "hashed_bow",
     quality_model=None,
     quality_model_threshold: float = 0.5,
+    perplexity_lm=None,
+    max_perplexity: float | None = None,
 ) -> CurationResult:
     """Optional hygiene stages (all off by default, each the library
     operator it names): ``repetition`` (True = Gopher Table A1
@@ -130,7 +132,13 @@ def curate_corpus(
     CCNet/GPT-3-style learned seed-vs-web filter after the heuristic
     filters: docs scoring below ``quality_model_threshold`` drop.  One
     vectorized ``map_batches`` — the model is a broadcast-sized weight
-    vector, no shuffle."""
+    vector, no shuffle.
+
+    ``perplexity_lm`` + ``max_perplexity`` (an ``ngramlm.NgramLM``
+    trained on a trusted reference corpus) add the CCNet-style fluency
+    filter: docs whose stupid-backoff pseudo-perplexity exceeds the
+    threshold drop.  Also one ``map_batches``; the model's count
+    arrays broadcast once via ``ray.put``."""
     if stats not in ("counts", "none"):
         raise ValueError(f"unknown stats mode {stats!r} (counts|none)")
     counting = stats == "counts"
@@ -188,6 +196,17 @@ def curate_corpus(
         if counting:
             cur = cur.materialize()
             st["after_quality_model"] = cur.count()
+
+    # 2a''. LM fluency filter (stupid-backoff pseudo-perplexity)
+    if perplexity_lm is not None:
+        if max_perplexity is None:
+            raise ValueError("perplexity_lm requires max_perplexity")
+        from kgforge.ngramlm import perplexity_filter
+
+        cur = perplexity_filter(cur, perplexity_lm, max_perplexity, text_col)
+        if counting:
+            cur = cur.materialize()
+            st["after_perplexity"] = cur.count()
 
     # 2b. per-domain quota, ranked by the quality score the filters
     # just computed (seeded-hash sample on pre-filtered inputs)

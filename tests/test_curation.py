@@ -641,6 +641,41 @@ def test_curate_corpus_quality_model_stage(ray_session):
     assert set(range(30)) <= out_ids
 
 
+def test_curate_corpus_perplexity_stage(ray_session):
+    """The LM fluency filter drops a word-scrambled doc (loses the
+    reference corpus's n-gram structure) that lang-ID, the heuristic
+    quality score, and exact/near dedup all pass."""
+    from kgforge.ngramlm import score_perplexity, train_ngram_lm
+
+    docs = _corpus()
+    hdr, body5, ftr = docs.loc[5, "text"].split("\n\n")
+    scrambled = " ".join(reversed(body5.split()))
+    docs.loc[len(docs)] = [500, f"{hdr}\n\n{scrambled}\n\n{ftr}"]
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    # reference corpus: the clean docs themselves (the victim inverts
+    # their shared phrase skeleton)
+    lm = train_ngram_lm(
+        rd.from_pandas(docs[docs["doc_id"] < 30][["text"]]), n=3, min_count=1
+    )
+    scored = (score_perplexity(rd.from_pandas(docs), lm).to_pandas()
+              .set_index("doc_id")["lm_ppl"])
+    good_max = scored.loc[range(30)].max()
+    assert scored.loc[500] > good_max
+    thr = float((scored.loc[500] + good_max) / 2)
+
+    res = curate_corpus(ds, min_quality=0.2, neardup_threshold=0.6,
+                        pack=False, perplexity_lm=lm, max_perplexity=thr)
+    s = res.stats
+    out_ids = set(res.docs.to_pandas()["doc_id"])
+    assert 500 not in out_ids
+    assert s["after_perplexity"] == s["after_lang_quality"] - 1
+    assert set(range(30)) <= out_ids
+
+    with pytest.raises(ValueError, match="max_perplexity"):
+        curate_corpus(ds, pack=False, perplexity_lm=lm)
+
+
 def test_curate_cli_quality_model(ray_session, tmp_path):
     """--quality-model loads a saved .npz and the stage runs in the CLI
     path (stats ledger shows the attrition)."""
@@ -670,14 +705,22 @@ def test_curate_cli_quality_model(ray_session, tmp_path):
     )
     mpath = tmp_path / "qm.npz"
     save_model(model, str(mpath))
+    # a permissive LM rides along to exercise the CLI load path
+    from kgforge.ngramlm import save_lm, train_ngram_lm
+
+    lm = train_ngram_lm(rd.from_pandas(docs[docs["doc_id"] < 30][["text"]]), n=2)
+    lmpath = tmp_path / "lm.npz"
+    save_lm(lm, str(lmpath))
     out = tmp_path / "out"
     curate_main([
         "--input", str(in_dir), "--out", str(out),
         "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
         "--quality-model", str(mpath),
+        "--lm-model", str(lmpath), "--max-perplexity", "1e18",
     ])
     stats = json.loads((out / "stats.json").read_text())
     assert stats["after_quality_model"] == stats["after_lang_quality"] - 1
+    assert stats["after_perplexity"] == stats["after_quality_model"]
     out_ids = set(
         pq.read_table(str(out / "docs"), columns=["doc_id"])["doc_id"].to_pylist()
     )
