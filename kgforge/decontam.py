@@ -32,8 +32,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .extract_core import stable_u64
-from .relops import ngram_window_hashes
+from .relops import ngram_window_hashes, token_hash_stream
 from .textops import _ASCII_LOWER
 
 # canonical decontamination window from the GPT-3 appendix; callers
@@ -60,19 +59,11 @@ def _window_hashes(texts: list[str | None], n: int):
     combine is ``acc = splitmix64(acc ^ tok)`` applied ``n`` times over
     shifted views — order-sensitive, so "a b" and "b a" differ.
     """
-    import pandas as _pd
-
-    toks_per_doc = [_tokenize(x) for x in texts]
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    if len(flat) < n:
-        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
-    codes, uniques = _pd.factorize(np.asarray(flat, dtype=object))
-    uhash = np.array(
-        [stable_u64(u, "decontam") for u in uniques], dtype=np.uint64
+    th, doc_idx, _lens = token_hash_stream(
+        [_tokenize(x) for x in texts], "decontam"
     )
-    th = uhash[codes]
-    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    if len(th) < n:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
     acc, valid = ngram_window_hashes(th, doc_idx, n)
     L = len(acc)
     return acc[valid], doc_idx[:L][valid]

@@ -39,8 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .decontam import _tokenize
-from .extract_core import stable_u64
-from .relops import _splitmix64, ngram_window_hashes
+from .relops import _splitmix64, ngram_window_hashes, token_hash_stream
 
 #: canonical stupid-backoff discount per backed-off order
 DEFAULT_ALPHA = 0.4
@@ -67,15 +66,16 @@ class NgramLM:
         self.salt = salt
 
     def lookup(self, mixed: np.ndarray) -> np.ndarray:
-        """Counts for mixed keys (0 for unseen), vectorized."""
-        if not len(mixed):
-            return np.zeros(0, dtype=np.int64)
+        """Counts for mixed keys (0 for unseen), vectorized.  An empty
+        model (everything pruned) answers 0 everywhere — every token
+        then scores at the unigram pseudo-count backstop."""
+        if not len(mixed) or not len(self.keys):
+            return np.zeros(len(mixed), dtype=np.int64)
         pos = np.searchsorted(self.keys, mixed)
-        pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
-        hit = (len(self.keys) > 0) & (self.keys[pos_c] == mixed)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        hit = self.keys[pos_c] == mixed
         out = np.zeros(len(mixed), dtype=np.int64)
-        if len(self.keys):
-            out[hit] = self.counts[pos_c[hit]]
+        out[hit] = self.counts[pos_c[hit]]
         return out
 
 
@@ -87,20 +87,10 @@ def _mix_order(acc: np.ndarray, order: int) -> np.ndarray:
 
 
 def _token_stream(texts, salt: str):
-    """Batch-flat (token-hash stream, doc index, per-doc lengths)."""
-    import pandas as _pd
-
-    toks_per_doc = [_tokenize(x) for x in texts]
-    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    if flat:
-        codes, uniques = _pd.factorize(np.asarray(flat, dtype=object))
-        uhash = np.array([stable_u64(u, salt) for u in uniques], dtype=np.uint64)
-        th = uhash[codes]
-    else:
-        th = np.array([], dtype=np.uint64)
-    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    return th, doc_idx, lens
+    """Batch-flat (token-hash stream, doc index, per-doc lengths) —
+    the shared ``relops.token_hash_stream`` prelude over the
+    decontamination tokenizer."""
+    return token_hash_stream([_tokenize(x) for x in texts], salt)
 
 
 def train_ngram_lm(
@@ -267,11 +257,15 @@ def perplexity_filter(
 
 
 def save_lm(lm: NgramLM, path: str) -> None:
-    np.savez(
-        path, keys=lm.keys, counts=lm.counts,
-        total=np.int64(lm.total), n=np.int64(lm.n),
-        alpha=np.float64(lm.alpha), salt=np.str_(lm.salt),
-    )
+    # write through a file handle: np.savez(path) silently appends
+    # '.npz' to extension-less paths, breaking save→load with the same
+    # string (and any CLI later pointed at the path the caller chose)
+    with open(path, "wb") as f:
+        np.savez(
+            f, keys=lm.keys, counts=lm.counts,
+            total=np.int64(lm.total), n=np.int64(lm.n),
+            alpha=np.float64(lm.alpha), salt=np.str_(lm.salt),
+        )
 
 
 def load_lm(path: str) -> NgramLM:

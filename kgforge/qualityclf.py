@@ -82,16 +82,17 @@ def _featurize(texts: Sequence[str | None], dim: int, salt: str) -> np.ndarray:
 def _gather_texts(corpus, text_col: str, max_rows: int) -> list[str]:
     if isinstance(corpus, (list, tuple)):
         return list(corpus)
-    n = corpus.count()
-    if n > max_rows:
+    # take_all(limit=...) guards and gathers in ONE execution — a
+    # separate count() would run the input's lazy lineage twice
+    try:
+        rows = corpus.select_columns([text_col]).take_all(limit=max_rows)
+    except ValueError as e:
         raise ValueError(
-            f"training corpus has {n} rows > max_rows={max_rows}: training is "
+            f"training corpus exceeds max_rows={max_rows}: training is "
             "driver-side by contract — pass a labeled SAMPLE (e.g. "
             "relops.stratified_sample), or raise max_rows deliberately"
-        )
-    return [
-        r[text_col] for r in corpus.select_columns([text_col]).take_all()
-    ]
+        ) from e
+    return [r[text_col] for r in rows]
 
 
 def train_quality_classifier(
@@ -137,14 +138,21 @@ def score_quality(
     text_col: str = "text",
     out_col: str = "clf_quality",
 ):
-    """Append ``out_col`` = P(seed-like) ∈ (0, 1) per doc — one
+    """Append ``out_col`` = P(seed-like) ∈ [0, 1) per doc — one
     vectorized ``map_batches``; the model rides to workers as a
-    captured ``(dim,)`` vector."""
+    captured ``(dim,)`` vector.
+
+    Docs with NO extractable tokens (null/empty text, scripts the
+    tokenizer can't see) score exactly 0.0: their natural score would
+    be ``sigmoid(b)``, which training drives arbitrarily close to the
+    default 0.5 threshold — their fate would then flip with
+    training-set noise.  No evidence → not seed-like, deterministically."""
     w, b, dim, salt = model.w, model.b, model.dim, model.salt
 
     def f(t: pa.Table) -> pa.Table:
         X = _featurize(t[text_col].to_pylist(), dim, salt)
         p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        p[np.abs(X).sum(axis=1) == 0] = 0.0
         return t.append_column(out_col, pa.array(p.astype(np.float64)))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -176,14 +184,17 @@ def quality_classifier_filter(
 
 
 def save_model(model: QualityModel, path: str) -> None:
-    """Persist to ``.npz`` (the model is one small dense vector)."""
-    np.savez(
-        path,
-        w=model.w,
-        b=np.float64(model.b),
-        dim=np.int64(model.dim),
-        salt=np.str_(model.salt),
-    )
+    """Persist to ``.npz`` (the model is one small dense vector).
+    Written through a file handle: ``np.savez(path)`` silently appends
+    '.npz' to extension-less paths, breaking save→load round-trips."""
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            w=model.w,
+            b=np.float64(model.b),
+            dim=np.int64(model.dim),
+            salt=np.str_(model.salt),
+        )
 
 
 def load_model(path: str) -> QualityModel:

@@ -162,6 +162,30 @@ def ngram_window_hashes(
     return acc, valid
 
 
+def token_hash_stream(
+    toks_per_doc: "list[list[str]]", salt: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-flat ``(token-hash stream, doc index, per-doc lengths)``
+    from pre-tokenized docs — THE shared prelude feeding
+    ``ngram_window_hashes`` (decontamination and the n-gram LM both use
+    it; tokenization stays the caller's).  Token→u64 is blake2b
+    (``stable_u64``) over the batch's UNIQUE tokens only (Zipf reuse
+    makes that cheap) then a vectorized gather — deterministic across
+    runs, block layouts and cluster sizes."""
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uhash = np.array(
+            [stable_u64(u, salt) for u in uniques], dtype=np.uint64
+        )
+        th = uhash[codes]
+    else:
+        th = np.array([], dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return th, doc_idx, lens
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — a well-mixed deterministic
     u64→u64 permutation (public constant schedule)."""

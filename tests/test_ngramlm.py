@@ -139,6 +139,29 @@ def test_training_layout_invariant_and_pruning(ray_session):
     assert (pruned.counts >= 3).all()
 
 
+def test_fully_pruned_model_still_scores(ray_session):
+    """min_count above every gram count → empty model; every token
+    scores at the 0.5-pseudo-count unigram backstop instead of
+    crashing (empty-keys searchsorted regression)."""
+    train = [_sentence(i) for i in range(3)]   # too small to repeat much
+    lm = train_ngram_lm(
+        rd.from_pandas(pd.DataFrame({"text": train})), n=2, min_count=10**9,
+    )
+    assert len(lm.keys) == 0 and lm.total > 0
+    df = pd.DataFrame({"doc_id": [0], "text": [_sentence(99)]})
+    s = score_perplexity(rd.from_pandas(df), lm).to_pandas()["lm_ppl"][0]
+    toks = len(_tokenize(_sentence(99)))
+    assert toks > 0 and np.isfinite(s)
+    # every token gets alpha^(m-1) * 0.5/total — bounded by the m=1 case
+    assert s >= lm.total / 0.5 * 0  # positive, sanity
+    assert s == pytest.approx(
+        math.exp(-np.mean([
+            math.log((lm.alpha ** (min(2, i + 1) - 1)) * 0.5 / lm.total)
+            for i in range(toks)
+        ])), rel=1e-9,
+    )
+
+
 def test_max_entries_guard_and_validation(ray_session):
     train = _train_corpus(30)
     ds = rd.from_pandas(pd.DataFrame({"text": train}))

@@ -76,6 +76,10 @@ def test_filter_and_keep_score(ray_session):
     assert "clf_quality" not in kept.columns
     kept2 = quality_classifier_filter(ds, model, keep_score=True).to_pandas()
     assert "clf_quality" in kept2.columns
+    # token-less docs score exactly 0.0 (deterministic drop), not
+    # sigmoid(b) which can sit arbitrarily close to the 0.5 threshold
+    scored = score_quality(ds, model).to_pandas().set_index("doc_id")
+    assert scored.loc[3, "clf_quality"] == 0.0
 
 
 def test_dataset_inputs_and_gather_guard(ray_session):
