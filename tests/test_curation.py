@@ -277,6 +277,56 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
     assert dist.packed.schema().base_schema.names == ["seq", "n_tokens"]
 
 
+def test_curate_model_stages_forced_distributed(ray_session, monkeypatch):
+    """The new model-based stages under the 100-TB configuration:
+    classifier drop + LM scoring + SemDeDup drop with every
+    auto-switching threshold forced distributed must equal the auto
+    plans doc for doc (the semdedup drops then apply via the Bloom
+    anti-join instead of the broadcast is_in)."""
+    import numpy as np
+
+    from kgforge.ngramlm import train_ngram_lm
+    from kgforge.qualityclf import train_quality_classifier
+
+    docs = _corpus()
+    hdr, body5, ftr = docs.loc[5, "text"].split("\n\n")
+    docs.loc[len(docs)] = [  # semdedup victim (identical BoW to doc 5)
+        102, f"{hdr}\n\n{' '.join(reversed(body5.split()))}\n\n{ftr}"]
+    spam_words = ("click free winner casino bonus jackpot offer credit "
+                  "loan prize claim deal").split()
+    rng = np.random.RandomState(3)
+    docs.loc[len(docs)] = [  # classifier victim
+        400, f"{hdr}\n\n{' '.join(rng.choice(spam_words, size=40))}\n\n{ftr}"]
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+
+    qm = train_quality_classifier(
+        [_en_body(500 + i) for i in range(40)],
+        [" ".join(rng.choice(spam_words, size=40)) for _ in range(40)],
+    )
+    lm = train_ngram_lm(rd.from_pandas(docs[docs["doc_id"] < 30][["text"]]), n=2)
+    kw = dict(min_quality=0.2, neardup_threshold=0.6, pack=False,
+              quality_model=qm, perplexity_lm=lm, max_perplexity=1e18,
+              semdedup_threshold=0.95)
+
+    for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
+                "KGFORGE_DROP_APPLY_BROADCAST_ROWS"):
+        monkeypatch.setenv(var, "0")
+    dist = curate_corpus(ds, **kw)
+    for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
+                "KGFORGE_DROP_APPLY_BROADCAST_ROWS"):
+        monkeypatch.delenv(var)
+    base = curate_corpus(ds, **kw)
+
+    a = dist.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    b = base.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["text"].tolist() == b["text"].tolist()
+    ids = set(a["doc_id"])
+    assert 400 not in ids and 102 not in ids and 5 in ids
+    assert dist.stats["semdedup_dropped"] == base.stats["semdedup_dropped"] == 1
+    assert dist.stats["after_quality_model"] == base.stats["after_quality_model"]
+
+
 def test_curate_corpus_streaming_mode_byte_identical(ray_session, monkeypatch):
     """stats='none' (the streaming configuration: no per-stage
     materializes, corpus pinned only at multi-consumer forks) must
