@@ -256,6 +256,63 @@ def perplexity_filter(
     )
 
 
+def perplexity_buckets(
+    ds,
+    lm: NgramLM,
+    text_col: str = "text",
+    *,
+    quantiles: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    sample_fraction: float = 0.05,
+    id_col: str | None = None,
+    seed: int = 7,
+    out_col: str = "ppl_bucket",
+):
+    """CCNet's head/middle/tail split: tag every doc with the
+    perplexity bucket its score falls into, with the bucket EDGES
+    estimated from a deterministically hash-sampled subset (scored
+    driver-side quantiles — stupid-backoff scores are corpus-relative,
+    so the thresholds must come from the corpus itself, exactly the
+    CCNet recipe).  Lower perplexity → earlier label ("head" is the
+    most reference-like tercile).
+
+    Two passes: the SAMPLE pass scores ~``sample_fraction`` of docs
+    (deterministic splitmix64/blake2b id-hash predicate when ``id_col``
+    is given, reproducible on any layout; hash of the text otherwise)
+    and the full pass scores + tags everything.  Appends ``lm_ppl``
+    and ``out_col``; empty docs land in the LAST bucket (no fluency
+    evidence)."""
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need exactly len(quantiles)+1 labels")
+    from .relops import stratified_sample
+
+    key = id_col or text_col
+    sample = stratified_sample(ds, key, sample_fraction, seed=seed)
+    sc = score_perplexity(sample, lm, text_col).select_columns(["lm_ppl"])
+    vals = np.array(
+        [r["lm_ppl"] for r in sc.take_all()], dtype=np.float64
+    )
+    vals = vals[np.isfinite(vals)]
+    if not len(vals):
+        raise ValueError(
+            "perplexity_buckets: the sample scored no non-empty docs — "
+            "raise sample_fraction or check the corpus"
+        )
+    edges = np.quantile(vals, np.asarray(quantiles, dtype=np.float64))
+    lab_arr = list(labels)
+
+    scored = score_perplexity(ds, lm, text_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        p = t["lm_ppl"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, np.nan_to_num(p, nan=np.inf), side="right")
+        return t.append_column(
+            out_col, pa.array([lab_arr[i] for i in idx], pa.string())
+        )
+
+    return scored.map_batches(tag, batch_format="pyarrow")
+
+
 def save_lm(lm: NgramLM, path: str) -> None:
     # write through a file handle: np.savez(path) silently appends
     # '.npz' to extension-less paths, breaking save→load with the same

@@ -87,6 +87,45 @@ def cluster_assign(
     return clustered.map_batches(sim, batch_format="pyarrow")
 
 
+def cluster_sample(
+    ds,
+    k_per_cluster: int,
+    *,
+    n_clusters: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 3,
+    by: str = "centroid_sim",
+    descending: bool = True,
+):
+    """Cluster-balanced subsample (the DataComp / SSL-prototypes
+    recipe): assign k-means clusters, keep at most ``k_per_cluster``
+    rows per cluster — topic coverage survives aggressive downsampling
+    where a uniform draw would follow the corpus's topic skew.
+
+    ``by="centroid_sim"`` (default, descending) keeps each cluster's
+    most PROTOTYPICAL members; order by a precomputed hash column with
+    ``descending=False`` for an unbiased per-cluster draw.  ``id_col``
+    breaks ties, so the pick is deterministic on any layout.  One
+    groupby shuffle (``relops.top_k_per_group``); output schema equals
+    the input schema."""
+    if k_per_cluster <= 0:
+        raise ValueError("k_per_cluster must be positive")
+    from .relops import top_k_per_group
+
+    clustered = cluster_assign(
+        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    out = top_k_per_group(
+        clustered, "cluster", [by, id_col], k_per_cluster,
+        descending=[descending, False],
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["cluster", "centroid_sim"]),
+        batch_format="pyarrow",
+    )
+
+
 def _greedy_keep(df, threshold: float, vec_col: str) -> np.ndarray:
     """Deterministic SemDeDup scan over ONE cluster's frame (must be
     pre-sorted by id): a row is kept iff no already-kept row's cosine

@@ -171,6 +171,35 @@ def test_max_entries_guard_and_validation(ray_session):
         train_ngram_lm(ds, n=0)
 
 
+def test_perplexity_buckets(ray_session):
+    from kgforge.ngramlm import perplexity_buckets
+
+    train = _train_corpus(80)
+    lm = train_ngram_lm(rd.from_pandas(pd.DataFrame({"text": train})), n=3)
+    rng = np.random.RandomState(5)
+    in_dom = [_sentence(3000 + i) for i in range(15)]
+    gib = [" ".join(rng.permutation(_VOCAB).tolist()) for _ in range(15)]
+    df = pd.DataFrame({"doc_id": range(31), "text": in_dom + gib + [""]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (perplexity_buckets(ds, lm, id_col="doc_id", sample_fraction=1.0)
+           .to_pandas().set_index("doc_id"))
+    assert set(out["ppl_bucket"]) <= {"head", "middle", "tail"}
+    # terciles from a full sample split ~1/3 each (the empty doc lands
+    # in the last bucket: no fluency evidence)
+    assert out["ppl_bucket"].value_counts()["head"] >= 8
+    assert out.loc[30, "ppl_bucket"] == "tail"
+    # fluent docs skew head, gibberish skews tail
+    head_ids = set(out[out["ppl_bucket"] == "head"].index)
+    assert len(head_ids & set(range(15))) > len(head_ids & set(range(15, 30)))
+    # deterministic across layouts
+    out2 = (perplexity_buckets(rd.from_pandas(df).repartition(6), lm,
+                               id_col="doc_id", sample_fraction=1.0)
+            .to_pandas().set_index("doc_id"))
+    assert (out["ppl_bucket"] == out2["ppl_bucket"]).all()
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(ds, lm, quantiles=(0.5,), labels=("a", "b", "c"))
+
+
 def test_save_load_round_trip(ray_session, tmp_path):
     train = _train_corpus(20)
     lm = train_ngram_lm(rd.from_pandas(pd.DataFrame({"text": train})), n=2)

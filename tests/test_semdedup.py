@@ -99,6 +99,24 @@ def test_drops_complement_keeps(ray_session):
     assert semantic_dedup_drops(ds, 1.0, n_clusters=2).count() == 0
 
 
+def test_cluster_sample_balanced_and_deterministic(ray_session):
+    from kgforge.semdedup import cluster_sample
+
+    df = _corpus(21, proto_noise=3.0)          # 17 docs per topic
+    ds = rd.from_pandas(df).repartition(4)
+    out = cluster_sample(ds, 5, n_clusters=2).to_pandas()
+    assert len(out) == 10                      # 5 from each cluster
+    assert sorted(out.columns) == ["embedding", "vec_id"]
+    out2 = cluster_sample(
+        rd.from_pandas(df).repartition(7), 5, n_clusters=2
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
+    # k larger than every cluster → everything survives
+    assert cluster_sample(ds, 1000, n_clusters=2).count() == len(df)
+    with pytest.raises(ValueError):
+        cluster_sample(ds, 0)
+
+
 def test_greedy_keep_gram_equals_buffer(monkeypatch):
     """The one-Gram-matmul fast path and the O(m·d)-memory buffer
     fallback implement the same scan (pure unit test — the env switch
