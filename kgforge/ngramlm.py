@@ -289,9 +289,19 @@ def perplexity_buckets(
     key = id_col or text_col
     sample = stratified_sample(ds, key, sample_fraction, seed=seed)
     sc = score_perplexity(sample, lm, text_col).select_columns(["lm_ppl"])
-    vals = np.array(
-        [r["lm_ppl"] for r in sc.take_all()], dtype=np.float64
-    )
+    # the sample's scores gather to the driver for the quantiles —
+    # guard it: 5% of a 10^9-doc corpus is NOT driver-sized
+    max_sample_rows = 1_000_000
+    try:
+        rows = sc.take_all(limit=max_sample_rows)
+    except ValueError as e:
+        raise ValueError(
+            f"perplexity_buckets: the quantile sample exceeds "
+            f"{max_sample_rows} rows — lower sample_fraction "
+            f"(= {sample_fraction}) so the driver-side edge estimate "
+            "stays sample-sized"
+        ) from e
+    vals = np.array([r["lm_ppl"] for r in rows], dtype=np.float64)
     vals = vals[np.isfinite(vals)]
     if not len(vals):
         raise ValueError(
@@ -299,16 +309,14 @@ def perplexity_buckets(
             "raise sample_fraction or check the corpus"
         )
     edges = np.quantile(vals, np.asarray(quantiles, dtype=np.float64))
-    lab_arr = list(labels)
+    lab_arr = np.asarray(labels)
 
     scored = score_perplexity(ds, lm, text_col)
 
     def tag(t: pa.Table) -> pa.Table:
         p = t["lm_ppl"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(edges, np.nan_to_num(p, nan=np.inf), side="right")
-        return t.append_column(
-            out_col, pa.array([lab_arr[i] for i in idx], pa.string())
-        )
+        return t.append_column(out_col, pa.array(lab_arr[idx], pa.string()))
 
     return scored.map_batches(tag, batch_format="pyarrow")
 
