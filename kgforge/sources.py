@@ -1,8 +1,12 @@
 """Sources (SURVEY §2.S1): read Common-Crawl-style pages parquet with
 column pruning and row-group predicate pushdown — only the needed
-columns/row-groups leave storage."""
+columns/row-groups leave storage.  JSONL(.gz) in/out rides along for
+the web-corpus interchange format (most public crawls and curated
+text dumps ship as gzipped JSON lines)."""
 
 from __future__ import annotations
+
+import os
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
@@ -27,3 +31,48 @@ def write_pages(pages_ds, out_dir: str) -> None:
     """Materialize a synthetic corpus to parquet (for reuse as a real
     read_pages input / ray job submit artifact)."""
     pages_ds.write_parquet(out_dir)
+
+
+def _infer_gzip(path) -> bool:
+    """True when the path (or, for a local directory, its first data
+    file) ends in .gz.  Mixed-compression directories are not
+    supported — Ray opens every file with the same stream args."""
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    if "://" in str(p):
+        return str(p).endswith(".gz")
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            if not name.startswith((".", "_")):
+                return name.endswith(".gz")
+        return False
+    return str(p).endswith(".gz")
+
+
+def read_jsonl(path, columns=None, *, compression: str | None = "auto"):
+    """Dataset from JSON-lines file(s)/dir, transparently gunzipping
+    ``.jsonl.gz`` (``compression='auto'`` infers from the extension;
+    pass ``'gzip'``/``None`` explicitly for ambiguous paths).
+
+    JSONL has NO column pruning at the scan — every byte is read and
+    parsed before ``columns`` projects (done here right after the read
+    so at least nothing wider crosses the pipeline).  It is the
+    INTERCHANGE format: for the 100-TB path, land JSONL once, convert
+    to parquet (`read_jsonl(...).write_parquet(...)`), and run the
+    pipeline over the parquet."""
+    import ray.data as rd
+
+    kwargs = {}
+    if compression == "auto":
+        compression = "gzip" if _infer_gzip(path) else None
+    if compression:
+        kwargs["arrow_open_stream_args"] = {"compression": compression}
+    ds = rd.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+def write_jsonl(ds, out_dir: str) -> None:
+    """Write JSON-lines files (one per block) — the interchange/export
+    sink; parquet stays the engine-to-engine format."""
+    ds.write_json(out_dir)

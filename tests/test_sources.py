@@ -63,3 +63,43 @@ def test_documents_as_pages_adapter_feeds_extraction():
     row = out[0]
     assert row["url"].startswith("testdata://doc/")
     assert len(row["extracted_text"]) > 0 and "html" not in row
+
+
+def test_jsonl_round_trip_plain_gz_and_columns(ray_session, tmp_path):
+    """JSONL(.gz) interchange: plain + gzipped reads, auto-detection,
+    column projection, write→read round trip."""
+    import gzip
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.sources import read_jsonl, write_jsonl
+
+    rows = [{"doc_id": i, "text": f"document number {i}", "lang": "en"}
+            for i in range(10)]
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    with open(plain / "a.jsonl", "w") as f:
+        for r in rows[:6]:
+            f.write(json.dumps(r) + "\n")
+    with open(plain / "b.jsonl", "w") as f:
+        for r in rows[6:]:
+            f.write(json.dumps(r) + "\n")
+    got = read_jsonl(str(plain)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got.to_dict("records") == rows
+
+    gz = tmp_path / "gz"
+    gz.mkdir()
+    with gzip.open(gz / "a.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got_gz = (read_jsonl(str(gz), columns=["doc_id", "text"])
+              .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert list(got_gz.columns) == ["doc_id", "text"]
+    assert got_gz["text"].tolist() == [r["text"] for r in rows]
+
+    out = tmp_path / "out"
+    write_jsonl(rd.from_pandas(pd.DataFrame(rows)), str(out))
+    back = read_jsonl(str(out)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert back.to_dict("records") == rows
