@@ -248,6 +248,10 @@ def _stage_a_totals(
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="kgforge corpus curation")
     p.add_argument("--input", required=True, help="input parquet path/glob")
+    p.add_argument("--input-format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="jsonl reads JSON-lines (.gz auto-detected) — the "
+                        "interchange path; parquet is the scale path")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -301,6 +305,12 @@ def main(argv: list[str] | None = None) -> None:
                         "deterministic global shuffle of the curated docs")
     p.add_argument("--shard-seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.input_format != "parquet" and args.partitions > 0:
+        raise SystemExit(
+            "--input-format jsonl cannot be combined with --partitions (the "
+            "checkpoint ledger tracks parquet file groups): convert once with "
+            "read_jsonl(...).write_parquet(...) and partition the parquet"
+        )
     if args.max_per_domain is not None and args.partitions > 0:
         raise SystemExit(
             "--max-per-domain cannot be combined with --partitions: stage-A "
@@ -342,6 +352,10 @@ def main(argv: list[str] | None = None) -> None:
             )
         in_ds = rd.read_parquet(part_files)
         skip_filters = True
+    elif args.input_format == "jsonl":
+        from kgforge.sources import read_jsonl
+
+        in_ds = read_jsonl(args.input)
     else:
         in_ds = rd.read_parquet(args.input)
     bench = None

@@ -812,3 +812,32 @@ def test_curate_cli_shards_and_hygiene(ray_session, tmp_path):
     sharded = pq.read_table(str(out / "shards")).to_pandas()
     assert sorted(sharded["doc_id"]) == sorted(got["doc_id"])
     assert stats["sharded_docs"] == len(got)
+
+
+def test_curate_cli_jsonl_input(ray_session, tmp_path):
+    """--input-format jsonl: gzipped JSON-lines in, curated docs out;
+    --partitions combination is rejected with guidance."""
+    import gzip
+    import json
+
+    from kgforge.curate import main as curate_main
+
+    docs = _corpus()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with gzip.open(in_dir / "docs.jsonl.gz", "wt") as f:
+        for r in docs.to_dict("records"):
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "out"
+    curate_main([
+        "--input", str(in_dir), "--input-format", "jsonl",
+        "--out", str(out),
+        "--min-quality", "0.2", "--neardup-threshold", "0.6", "--no-pack",
+    ])
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["after_neardup"] == 30
+    with pytest.raises(SystemExit, match="jsonl"):
+        curate_main([
+            "--input", str(in_dir), "--input-format", "jsonl",
+            "--out", str(out), "--partitions", "2",
+        ])
