@@ -413,9 +413,19 @@ def main(argv: list[str] | None = None) -> None:
     # atomic REPLACE, not append: Ray's write_parquet never deletes, so
     # a rerun (or a --resume) into the same --out would otherwise leave
     # the previous run's docs next to the new ones
+    # jsonl inputs never match _id_type's *.parquet glob — probe the
+    # live dataset schema instead (a wrong int64 fallback on a
+    # string-id corpus writes an empty docs parquet that fails schema
+    # unification next to real outputs)
+    id_type = _id_type(files, args.id_col)
+    if args.input_format == "jsonl":
+        in_schema = in_ds.schema()
+        base = getattr(in_schema, "base_schema", None)
+        if isinstance(base, pa.Schema) and args.id_col in base.names:
+            id_type = base.field(args.id_col).type
     _atomic_write_always(
         res.docs, os.path.join(args.out, "docs"),
-        pa.schema([(args.id_col, _id_type(files, args.id_col)),
+        pa.schema([(args.id_col, id_type),
                    (args.text_col, pa.string()),
                    ("n_dropped_paragraphs", pa.int64())]),
     )

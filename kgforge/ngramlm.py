@@ -284,8 +284,16 @@ def perplexity_buckets(
     evidence)."""
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need exactly len(quantiles)+1 labels")
+    if list(quantiles) != sorted(quantiles) or not all(
+        0.0 <= q <= 1.0 for q in quantiles
+    ):
+        raise ValueError("quantiles must be ascending and within [0, 1] — "
+                         "searchsorted over unsorted edges mislabels silently")
     from .relops import stratified_sample
 
+    # two consumers (sample pass + full tagging pass): pin the input so
+    # a lazy upstream doesn't re-execute per consumer
+    ds = ds.materialize()
     key = id_col or text_col
     sample = stratified_sample(ds, key, sample_fraction, seed=seed)
     sc = score_perplexity(sample, lm, text_col).select_columns(["lm_ppl"])

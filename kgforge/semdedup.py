@@ -113,16 +113,25 @@ def cluster_sample(
         raise ValueError("k_per_cluster must be positive")
     from .relops import top_k_per_group
 
-    clustered = cluster_assign(
-        ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
-    )
+    if by == "centroid_sim":
+        clustered = cluster_assign(
+            ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+        helper_cols = ["cluster", "centroid_sim"]
+    else:
+        # ordering by a caller-provided column: skip the centroid_sim
+        # pass entirely (it re-decodes every embedding only to be
+        # dropped below)
+        clustered, _cent = _clustered(
+            ds, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+        helper_cols = ["cluster"]
     out = top_k_per_group(
         clustered, "cluster", [by, id_col], k_per_cluster,
         descending=[descending, False],
     )
     return out.map_batches(
-        lambda t: t.drop_columns(["cluster", "centroid_sim"]),
-        batch_format="pyarrow",
+        lambda t: t.drop_columns(helper_cols), batch_format="pyarrow",
     )
 
 

@@ -6,8 +6,6 @@ text dumps ship as gzipped JSON lines)."""
 
 from __future__ import annotations
 
-import os
-
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
@@ -33,25 +31,15 @@ def write_pages(pages_ds, out_dir: str) -> None:
     pages_ds.write_parquet(out_dir)
 
 
-def _infer_gzip(path) -> bool:
-    """True when the path (or, for a local directory, its first data
-    file) ends in .gz.  Mixed-compression directories are not
-    supported — Ray opens every file with the same stream args."""
-    p = path[0] if isinstance(path, (list, tuple)) else path
-    if "://" in str(p):
-        return str(p).endswith(".gz")
-    if os.path.isdir(p):
-        for name in sorted(os.listdir(p)):
-            if not name.startswith((".", "_")):
-                return name.endswith(".gz")
-        return False
-    return str(p).endswith(".gz")
-
-
-def read_jsonl(path, columns=None, *, compression: str | None = "auto"):
+def read_jsonl(path, columns=None, *, compression: str = "auto"):
     """Dataset from JSON-lines file(s)/dir, transparently gunzipping
-    ``.jsonl.gz`` (``compression='auto'`` infers from the extension;
-    pass ``'gzip'``/``None`` explicitly for ambiguous paths).
+    ``.jsonl.gz``.  ``compression='auto'`` (default) passes no stream
+    args, which makes the reader detect the codec PER FILE from its
+    extension — mixed plain+gz directories read correctly; forcing one
+    codec onto a directory would not.  ``'gzip'`` forces gunzip for
+    extensionless gzipped paths.  There is NO raw override: the reader
+    treats an absent/None compression as "detect from extension", so a
+    PLAIN file mis-named ``.gz`` cannot be read — rename it.
 
     JSONL has NO column pruning at the scan — every byte is read and
     parsed before ``columns`` projects (done here right after the read
@@ -62,10 +50,16 @@ def read_jsonl(path, columns=None, *, compression: str | None = "auto"):
     import ray.data as rd
 
     kwargs = {}
-    if compression == "auto":
-        compression = "gzip" if _infer_gzip(path) else None
-    if compression:
-        kwargs["arrow_open_stream_args"] = {"compression": compression}
+    if compression == "gzip":
+        # forcing a codec is for extensionless paths — also disable the
+        # reader's default .json/.jsonl[.gz] extension filter, which
+        # would silently drop exactly those files
+        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+        kwargs["file_extensions"] = None
+    elif compression != "auto":
+        raise ValueError(
+            f"unknown compression {compression!r} (auto|gzip)"
+        )
     ds = rd.read_json(path, **kwargs)
     if columns:
         ds = ds.select_columns(list(columns))

@@ -841,3 +841,29 @@ def test_curate_cli_jsonl_input(ray_session, tmp_path):
             "--input", str(in_dir), "--input-format", "jsonl",
             "--out", str(out), "--partitions", "2",
         ])
+
+
+def test_curate_cli_jsonl_string_ids_all_dropped(ray_session, tmp_path):
+    """jsonl input with STRING ids curating to zero survivors must
+    write the empty docs parquet with the real id dtype (the parquet
+    glob probe finds nothing for jsonl — the live schema is used)."""
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    from kgforge.curate import main as curate_main
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with gzip.open(in_dir / "docs.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"doc_id": "doc-a", "text": "!!! ??? !!!"}) + "\n")
+        f.write(json.dumps({"doc_id": "doc-b", "text": "der die und das"}) + "\n")
+    out = tmp_path / "out"
+    curate_main([
+        "--input", str(in_dir), "--input-format", "jsonl",
+        "--out", str(out), "--no-pack",
+    ])
+    t = pq.read_table(str(out / "docs"))
+    assert t.num_rows == 0
+    assert t.schema.field("doc_id").type == "string"

@@ -198,6 +198,10 @@ def test_perplexity_buckets(ray_session):
     assert (out["ppl_bucket"] == out2["ppl_bucket"]).all()
     with pytest.raises(ValueError, match="labels"):
         perplexity_buckets(ds, lm, quantiles=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        perplexity_buckets(ds, lm, quantiles=(2 / 3, 1 / 3))
+    with pytest.raises(ValueError, match="ascending"):
+        perplexity_buckets(ds, lm, quantiles=(0.5, 1.5), labels=("a", "b", "c"))
 
 
 def test_save_load_round_trip(ray_session, tmp_path):

@@ -115,6 +115,14 @@ def test_cluster_sample_balanced_and_deterministic(ray_session):
     assert cluster_sample(ds, 1000, n_clusters=2).count() == len(df)
     with pytest.raises(ValueError):
         cluster_sample(ds, 0)
+    # by= a precomputed column (unbiased-draw mode, skips the sim pass)
+    df2 = df.copy()
+    df2["draw"] = [(v * 2654435761) % 97 for v in df2["vec_id"]]
+    byhash = cluster_sample(
+        rd.from_pandas(df2), 5, n_clusters=2, by="draw", descending=False
+    ).to_pandas()
+    assert len(byhash) == 10
+    assert sorted(byhash.columns) == ["draw", "embedding", "vec_id"]
 
 
 def test_greedy_keep_gram_equals_buffer(monkeypatch):

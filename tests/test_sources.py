@@ -103,3 +103,34 @@ def test_jsonl_round_trip_plain_gz_and_columns(ray_session, tmp_path):
     write_jsonl(rd.from_pandas(pd.DataFrame(rows)), str(out))
     back = read_jsonl(str(out)).to_pandas().sort_values("doc_id", ignore_index=True)
     assert back.to_dict("records") == rows
+
+
+def test_jsonl_mixed_dir_and_forced_modes(ray_session, tmp_path):
+    """compression='auto' must read MIXED plain+gz directories (the
+    reader detects per file); 'raw' forces no decompression for a
+    mis-named plain file; bad mode raises."""
+    import gzip
+    import json
+
+    import pytest
+
+    from kgforge.sources import read_jsonl
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    with open(mixed / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "plain"}) + "\n")
+    with gzip.open(mixed / "b.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "gzipped"}) + "\n")
+    got = read_jsonl(str(mixed)).to_pandas().sort_values("doc_id")
+    assert got["text"].tolist() == ["plain", "gzipped"]
+
+    # forced gzip for an extensionless gzipped file
+    noext = tmp_path / "gz_no_ext"
+    with gzip.open(noext, "wt") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "hidden gz"}) + "\n")
+    forced = read_jsonl(str(noext), compression="gzip").to_pandas()
+    assert forced["text"].tolist() == ["hidden gz"]
+
+    with pytest.raises(ValueError, match="compression"):
+        read_jsonl(str(mixed), compression="zstd-typo")
