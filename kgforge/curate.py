@@ -42,26 +42,11 @@ import os
 
 
 def _write_parquet_always(ds, path: str, fallback_schema) -> None:
-    """write_parquet that always leaves a readable parquet directory:
-    Ray writes ZERO files (and no directory) for an empty dataset, so a
-    fully-deduplicated shard would otherwise break the documented
-    --known-index round-trip with FileNotFoundError on the next day.
-    ``fallback_schema`` (a ``pa.schema``) is used when even Ray's
-    dataset-level schema is gone (schema-less empty datasets)."""
-    import pyarrow.parquet as pq
+    """Delegates to ``steps/ledger.write_parquet_always`` — ONE copy of
+    the empty-dataset-safe physical write (run.py shares it)."""
+    from kgforge.steps.ledger import write_parquet_always
 
-    os.makedirs(path, exist_ok=True)
-    if ds.count() > 0:
-        ds.write_parquet(path)
-        return
-    schema = None
-    try:
-        schema = ds.schema().base_schema
-    except Exception:
-        schema = None
-    if schema is None:
-        schema = fallback_schema
-    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+    write_parquet_always(ds, path, fallback_schema)
 
 
 def _atomic_write_always(ds, final_dir: str, fallback_schema) -> None:
@@ -77,18 +62,11 @@ def _atomic_write_always(ds, final_dir: str, fallback_schema) -> None:
 
 
 def _group_fp(group: list[str], params: str = "") -> str:
-    """Fingerprint of a partition's exact input-file list AND the stage-A
-    filter parameters. A resume only trusts a ledger row whose
-    fingerprint matches the CURRENT grouping + settings: new files
-    landing in the input dir (the daily-shard case), a different
-    --partitions K, or a re-run with a different --min-quality/--langs
-    would otherwise silently substitute a checkpoint built from the
-    wrong inputs or the wrong thresholds — dropped, double-ingested, or
-    under-filtered docs with no error."""
-    import hashlib
+    """Delegates to ``steps/ledger.group_fingerprint`` (shared with
+    run.py's resume gate — see its docstring for the contract)."""
+    from kgforge.steps.ledger import group_fingerprint
 
-    payload = "\n".join(group) + "\0" + params
-    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+    return group_fingerprint(group, params)
 
 
 def _fp_params(args) -> str:

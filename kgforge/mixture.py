@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 
 from ray.data.aggregate import Sum
 
@@ -63,8 +62,15 @@ def sample_token_budget(
     ``(sampled_ds, rate)``; ``rate == 1.0`` means the corpus is already
     within budget (kept whole).  Pass a precomputed ``total_tokens`` to
     skip pass 1 (e.g. from a previous ``count_tokens`` or a manifest)."""
-    if token_budget <= 0:
-        raise ValueError("token_budget must be positive")
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    if token_budget == 0:
+        # a zero allocation selects nothing (mix_corpora floors tiny
+        # weight fractions to 0 — that recipe edge must report rate 0,
+        # not crash)
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        ), 0.0
     total = count_tokens(ds, text_col) if total_tokens is None else total_tokens
     if total <= token_budget:
         return ds, 1.0

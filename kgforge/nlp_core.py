@@ -185,7 +185,7 @@ def link_surface(
     prior = res.prior or {}
     # rank: max cosine, then max corpus prior, then lexicographic-min id —
     # all three exact comparisons, so every worker and the oracle agree
-    best = min(sorted(cands), key=lambda c: (-_cos(ctx, res.proto[c]), -prior.get(c, 0), c))
+    best = min(cands, key=lambda c: (-_cos(ctx, res.proto[c]), -prior.get(c, 0), c))
     return best, _cos(ctx, res.proto[best])
 
 

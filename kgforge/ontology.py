@@ -8,8 +8,9 @@ and *split* entities (two ids for the same real-world thing, connected by an
 explicit ``same_as`` edge — the union-find canonicalization target).
 
 12 predicates with typed domain/range and sentence templates; a fixed fact
-table with Zipf(α≈1.1) subject skew so head-entity shuffle salting
-(SURVEY §4.3) is exercised at test scale.
+table whose page-render sampling weights follow Zipf(α=1.05) subject
+skew so head-entity shuffle salting (SURVEY §4.3) is exercised at test
+scale.
 
 Everything is derived from ``random.Random(seed)`` (Mersenne twister —
 stable across Python versions in use) and module-level word lists: no
@@ -277,7 +278,9 @@ def build_ontology(seed: int = 42) -> Ontology:
     by_type: dict[str, list[Entity]] = {}
     for e in subjects:
         by_type.setdefault(e.etype, []).append(e)
-    # per-subject fact count: head subjects get more facts
+    # per-subject fact COUNT is uniform (1-3); the head-entity skew
+    # comes from fact_weights at page-render time (1/rank^1.05 below),
+    # not from the fact table itself
     for rank, e in enumerate(subjects):
         preds = [p for p in PREDICATES if p.domain == e.etype]
         if not preds:

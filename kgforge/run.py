@@ -92,22 +92,77 @@ def _check_run_params(out: str, resume: bool, **params) -> None:
     os.replace(tmp, path)
 
 
+def _spec_fp(spec, seed: int) -> str:
+    """Resume fingerprint for one partition spec: the exact file list
+    for --input runs (new/removed files re-group partitions — a stale
+    checkpoint must not be trusted), the id range + seed for synthetic
+    runs."""
+    from .steps.ledger import group_fingerprint
+
+    kind, val = spec
+    if kind == "files":
+        return group_fingerprint(list(val), f"seed={seed}")
+    lo, hi = val
+    return group_fingerprint([f"range:{lo}-{hi}"], f"seed={seed}")
+
+
+#: empty-partition fallback: extract_docs' output columns (pages minus
+#: html/text, plus url_norm and the extraction fields)
+def _docs_fallback_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("url_norm", pa.string()),
+        ("extracted_text", pa.string()),
+        ("text_sha256", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+
+
 def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
                input_dir: str | None = None, stop_after: int | None = None) -> None:
     """``stop_after=K`` processes at most K not-yet-done partitions then
     returns (crash simulation for the resume test) — the recorded run
     parameters stay those of the FULL run, so --resume validates."""
     from .steps.extract import add_url_norm, extract_docs, lang_filter
-    from .steps.ledger import completed_partitions, current_epoch, ledger_row, write_ledger_row
-    from .steps.ledger import atomic_write_parquet
+    from .steps.ledger import (
+        atomic_write_parquet,
+        completed_fingerprints,
+        current_epoch,
+        ledger_row,
+        write_ledger_row,
+        write_parquet_always,
+    )
 
     _check_run_params(out, resume, n_pages=n_pages, partitions=partitions,
                       seed=seed, input=input_dir)
-    done = completed_partitions(out, "docs") if resume else set()
-    epoch = current_epoch(out) + 1
     parts = _input_partitions(input_dir, n_pages, partitions)
     import glob
     import shutil
+
+    if resume:
+        # trust a checkpoint only when its recorded input fingerprint
+        # matches the CURRENT grouping (file lists drift; pre-upgrade
+        # rows with an empty fp re-run — the safe direction)
+        recorded = completed_fingerprints(out, "docs")
+        done = {
+            pid for pid, spec in enumerate(parts)
+            if recorded.get(pid) == _spec_fp(spec, seed)
+        }
+    else:
+        # fresh run into an existing --out: purge ALL old part dirs and
+        # their ledger rows FIRST — a previous run with more partitions
+        # would otherwise leave stale part-K dirs whose ledger rows
+        # stage 2 still trusts, silently mixing old pages into the output
+        done = set()
+        for stale in glob.glob(os.path.join(out, "docs", "part-*")):
+            shutil.rmtree(stale, ignore_errors=True)
+        for row in glob.glob(os.path.join(out, "ledger", "part-*.parquet")):
+            os.remove(row)
+    epoch = current_epoch(out) + 1
 
     n_ran = 0
     for pid, spec in enumerate(parts):
@@ -117,11 +172,11 @@ def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
         if pid in done:
             print(f"[stage1] partition {pid}: already complete — skipped (resume)")
             continue
-        # sweep debris from a crashed previous attempt (staged .tmp dirs)
-        for debris in glob.glob(os.path.join(out, "docs", f"part-{pid}.tmp-*")):
-            shutil.rmtree(debris, ignore_errors=True)
         t0 = time.perf_counter()
-        pages = _partition_pages(spec, seed)
+        # materialize the source once: count() on a lazy read/generate
+        # pipeline would execute it, then the extract chain would
+        # re-execute it from scratch — double input-side cost
+        pages = _partition_pages(spec, seed).materialize()
         n_pages_part = pages.count()
         ds = pages.map_batches(add_url_norm, batch_format="pyarrow")
         ds = lang_filter(ds)
@@ -130,11 +185,17 @@ def run_stage1(out: str, n_pages: int, partitions: int, resume: bool, seed: int,
         urls = docs.select_columns(["url_norm"])
         url_min = urls.min("url_norm") if n_docs else ""
         url_max = urls.max("url_norm") if n_docs else ""
-        atomic_write_parquet(docs, os.path.join(out, "docs", f"part-{pid}"))
+        atomic_write_parquet(
+            docs, os.path.join(out, "docs", f"part-{pid}"),
+            writer=lambda d, tmp: write_parquet_always(
+                d, tmp, _docs_fallback_schema()
+            ),
+        )
         write_ledger_row(
             out,
             ledger_row(pid, url_min, url_max, epoch, n_pages_part, n_docs, -1, "docs",
-                       round(time.perf_counter() - t0, 3)),
+                       round(time.perf_counter() - t0, 3),
+                       group_fp=_spec_fp(spec, seed)),
             f"part-{pid}",
         )
         n_ran += 1
@@ -193,7 +254,13 @@ def run_stage2(out: str, seed: int) -> int:
     linked = link_docs(kept, resource_ref=ray.put(res))
     triples = materialize_triples(linked).materialize()
     n_triples = triples.count()
-    atomic_write_parquet(triples, os.path.join(out, "triples"))
+    from .schemas import TRIPLES
+    from .steps.ledger import write_parquet_always
+
+    atomic_write_parquet(
+        triples, os.path.join(out, "triples"),
+        writer=lambda d, tmp: write_parquet_always(d, tmp, TRIPLES),
+    )
     model = learn_model(triples, res.id_type)
     write_model(model, os.path.join(out, "model"))
     write_ledger_row(

@@ -88,6 +88,59 @@ def completed_partitions(out_dir: str, status: str = "docs") -> set[int]:
     }
 
 
+def completed_fingerprints(out_dir: str, status: str = "docs") -> dict[int, str]:
+    """partition_id → recorded ``group_fp`` for completed partitions —
+    the resume gate that makes a checkpoint row trustworthy only when
+    the CURRENT input grouping matches the one it was built from."""
+    t = read_ledger(out_dir)
+    if t is None:
+        return {}
+    return {
+        int(r["partition_id"]): (r.get("group_fp") or "")
+        for r in t.to_pylist()
+        if r["status"] == status and r["partition_id"] >= 0
+    }
+
+
+def group_fingerprint(group: "list[str]", params: str = "") -> str:
+    """Fingerprint of a partition's exact input spec AND the settings
+    that change what its checkpoint contains.  A resume only trusts a
+    ledger row whose fingerprint matches the current grouping+settings:
+    new files landing in the input dir, a different partition count, or
+    changed filter thresholds would otherwise silently substitute a
+    checkpoint built from the wrong inputs."""
+    import hashlib
+
+    payload = "\n".join(group) + "\0" + params
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def write_parquet_always(ds, path: str, fallback_schema=None) -> None:
+    """``write_parquet`` that always leaves a readable parquet directory:
+    Ray writes ZERO files (and no directory) for an empty dataset, so an
+    empty partition would otherwise break the atomic-publish rename (and
+    any later read of the published dir) with FileNotFoundError.
+    ``fallback_schema`` is used when even the dataset-level schema is
+    gone (schema-less empty datasets)."""
+    os.makedirs(path, exist_ok=True)
+    if ds.count() > 0:
+        ds.write_parquet(path)
+        return
+    schema = None
+    try:
+        schema = ds.schema().base_schema
+    except Exception:
+        schema = None
+    if schema is None:
+        schema = fallback_schema
+    if schema is None:
+        raise ValueError(
+            "write_parquet_always: empty dataset with no schema and no "
+            "fallback_schema to pin the empty parquet's columns"
+        )
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
 def current_epoch(out_dir: str) -> int:
     t = read_ledger(out_dir)
     if t is None or t.num_rows == 0:
@@ -106,15 +159,29 @@ def atomic_write_parquet(ds, final_dir: str, writer=None) -> None:
     re-implementing the staging protocol."""
     parent = os.path.dirname(final_dir.rstrip("/"))
     os.makedirs(parent, exist_ok=True)
-    tmp = final_dir.rstrip("/") + f".tmp-{os.getpid()}"
+    base = final_dir.rstrip("/")
+    tmp = base + f".tmp-{os.getpid()}"
+    import glob
     import shutil
 
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    # sweep debris from crashed earlier attempts (stage dirs + displaced
+    # old data whose swap never finished)
+    for debris in glob.glob(base + ".tmp-*") + glob.glob(base + ".old-*"):
+        shutil.rmtree(debris, ignore_errors=True)
     if writer is None:
         ds.write_parquet(tmp)
     else:
         writer(ds, tmp)
     if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.replace(tmp, final_dir)
+        # rename-swap, NOT rmtree-then-replace: deleting the published
+        # dir before the new one lands opens a crash window (possibly
+        # minutes long for a big partition tree) where the checkpoint is
+        # gone while its ledger row still claims completion.  The swap
+        # narrows that to the instant between two renames, and a crash
+        # there leaves the old data recoverable in the .old dir.
+        old = base + f".old-{os.getpid()}"
+        os.replace(final_dir, old)
+        os.replace(tmp, final_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(tmp, final_dir)

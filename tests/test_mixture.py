@@ -67,8 +67,12 @@ def test_budget_at_least_total_keeps_all(ray_session):
     sub, rate = sample_token_budget(ds, _tok_total(df) + 1)
     assert rate == 1.0
     assert sub.count() == 50
+    # budget 0 selects nothing (mix_corpora floors tiny weight
+    # fractions to 0) — only NEGATIVE budgets are invalid
+    sub0, rate0 = sample_token_budget(ds, 0)
+    assert rate0 == 0.0 and sub0.count() == 0
     with pytest.raises(ValueError):
-        sample_token_budget(ds, 0)
+        sample_token_budget(ds, -1)
 
 
 def test_mix_corpora_proportions_and_tags(ray_session):

@@ -116,3 +116,123 @@ def test_crash_debris_is_overwritten(tmp_path):
     assert completed_partitions(out, "docs") == {0, 1}
     n = run_stage2(out, seed=42)
     assert n > 0
+
+
+def _pages_table(rows):
+    import pyarrow as pa
+
+    from datetime import datetime
+
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([datetime(2024, 1, 1)] * len(rows),
+                            pa.timestamp("us")),
+        "html": pa.array(
+            [f"<html><body><p>{r[1]}</p></body></html>" for r in rows],
+            pa.string()),
+        "text": pa.array([None] * len(rows), pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_empty_partition_checkpoints_and_resumes(ray_session, tmp_path):
+    """A partition whose pages all filter out must still publish an
+    (empty) checkpoint + ledger row — the run used to crash renaming a
+    tmp dir Ray never created, and crash identically on every resume."""
+    import pyarrow.parquet as pq
+
+    from kgforge.steps.ledger import completed_partitions
+
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    pq.write_table(_pages_table(
+        [(f"http://de.site/{i}", f"der text nummer {i}", "de")
+         for i in range(4)]), str(in_dir / "a.parquet"))
+    pq.write_table(_pages_table(
+        [(f"http://en.site/{i}",
+          f"The article {i} is about the Example Corp in the city.", "en")
+         for i in range(4)]), str(in_dir / "b.parquet"))
+    out = str(tmp_path / "out")
+    run_stage1(out, 0, 2, resume=False, seed=42, input_dir=str(in_dir))
+    assert completed_partitions(out, "docs") == {0, 1}
+    # the empty partition's dir is readable parquet with the docs schema
+    t = pq.read_table(str(tmp_path / "out" / "docs" / "part-0"))
+    assert t.num_rows == 0 and "extracted_text" in t.schema.names
+    # stage 2 + a full resume both run clean
+    run_stage1(out, 0, 2, resume=True, seed=42, input_dir=str(in_dir))
+    n = run_stage2(out, seed=42)
+    assert n >= 0
+
+
+def test_fresh_rerun_with_fewer_partitions_purges_stale(ray_session, tmp_path):
+    """A non-resume rerun into the same --out with fewer partitions must
+    not mix the previous run's extra part-K checkpoints into stage 2."""
+    import os
+
+    out = str(tmp_path / "out")
+    run_stage1(out, 400, 8, resume=False, seed=42)
+    assert os.path.isdir(os.path.join(out, "docs", "part-7"))
+    run_stage1(out, 200, 2, resume=False, seed=42)
+    # stale dirs and ledger rows from the 8-partition run are gone
+    assert not os.path.isdir(os.path.join(out, "docs", "part-7"))
+    from kgforge.steps.ledger import completed_partitions
+
+    assert completed_partitions(out, "docs") == {0, 1}
+    n = run_stage2(out, seed=42)
+    # equals a clean-out run of the same 200-page corpus
+    out2 = str(tmp_path / "out2")
+    run_stage1(out2, 200, 2, resume=False, seed=42)
+    assert n == run_stage2(out2, seed=42)
+
+
+def test_resume_revalidates_changed_input_files(ray_session, tmp_path):
+    """--input resume with a file added (same dir path, shifted
+    grouping) must re-run remapped partitions, not trust stale rows."""
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    for name, start in (("b.parquet", 0), ("c.parquet", 4)):
+        pq.write_table(_pages_table(
+            [(f"http://en.site/{start + i}",
+              f"The article {start + i} is about the Example Corp.", "en")
+             for i in range(4)]), str(in_dir / name))
+    out = str(tmp_path / "out")
+    # crash after 1 of 2 partitions
+    run_stage1(out, 0, 2, resume=False, seed=42, input_dir=str(in_dir),
+               stop_after=1)
+    # a new file lands, sorting FIRST → groupings shift
+    pq.write_table(_pages_table(
+        [(f"http://en.site/n{i}",
+          f"The new article n{i} is about the Example Corp.", "en")
+         for i in range(4)]), str(in_dir / "a.parquet"))
+    run_stage1(out, 0, 2, resume=True, seed=42, input_dir=str(in_dir))
+    run_stage2(out, seed=42)
+    import ray.data as rd
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "out" / "docs" / "part-*" / "*.parquet")))
+    urls = set(rd.read_parquet(files).to_pandas()["url"])
+    # every file's pages present exactly once — including the new one's
+    assert {f"http://en.site/n{i}" for i in range(4)} <= urls
+    assert {f"http://en.site/{i}" for i in range(8)} <= urls
+
+
+def test_mixture_zero_budget_corpus(ray_session):
+    """A weight fraction below 1/total_tokens floors to budget 0 — that
+    corpus contributes nothing (rate 0.0), it must not crash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.mixture import mix_corpora
+
+    big = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(20), "text": ["alpha beta gamma"] * 20}))
+    rare = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(100, 105), "text": ["delta epsilon"] * 5}))
+    mixed, report = mix_corpora(
+        {"web": (big, 1000.0), "rare": (rare, 1.0)}, total_tokens=10)
+    assert report["rare"]["budget_tokens"] == 0
+    assert report["rare"]["rate"] == 0.0
+    out = mixed.to_pandas()
+    assert (out["source_corpus"] == "rare").sum() == 0
