@@ -236,3 +236,49 @@ def test_mixture_zero_budget_corpus(ray_session):
     assert report["rare"]["rate"] == 0.0
     out = mixed.to_pandas()
     assert (out["source_corpus"] == "rare").sum() == 0
+
+
+def test_atomic_overwrite_crash_window_recoverable(ray_session, tmp_path):
+    """Crash between the two swap renames: the published dir is missing
+    but the old data survives in .old-*; the next write sweeps the
+    debris and publishes cleanly."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgforge.steps import ledger as L
+
+    final = str(tmp_path / "part")
+    ds1 = rd.from_pandas(pd.DataFrame({"v": [1, 2, 3]}))
+    L.atomic_write_parquet(ds1, final)
+    assert sorted(pq.read_table(final)["v"].to_pylist()) == [1, 2, 3]
+
+    ds2 = rd.from_pandas(pd.DataFrame({"v": [9]}))
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:          # the tmp→final publish rename
+            raise RuntimeError("simulated crash mid-swap")
+        return real_replace(src, dst)
+
+    os.replace = crashing_replace
+    try:
+        with pytest.raises(RuntimeError, match="mid-swap"):
+            L.atomic_write_parquet(ds2, final)
+    finally:
+        os.replace = real_replace
+    # published dir gone, but the old data is recoverable in .old-*
+    assert not os.path.exists(final)
+    import glob
+
+    old = glob.glob(final + ".old-*")
+    assert len(old) == 1
+    assert sorted(pq.read_table(old[0])["v"].to_pylist()) == [1, 2, 3]
+    # the next write sweeps the debris and publishes the new data
+    L.atomic_write_parquet(ds2, final)
+    assert pq.read_table(final)["v"].to_pylist() == [9]
+    assert not glob.glob(final + ".old-*") and not glob.glob(final + ".tmp-*")
