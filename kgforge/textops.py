@@ -270,3 +270,70 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+    min_chunk_tokens: int = 1,
+    out_text_col: str | None = None,
+):
+    """Split docs into fixed-token-count windows (context-window prep
+    for training / retrieval): each output row is one chunk with its
+    source id, ``chunk_idx`` (0-based, in document order), the chunk's
+    TEXT (the original substring spanning its tokens — whitespace
+    between in-chunk tokens is preserved verbatim) and ``n_tokens``.
+
+    Windows step by ``chunk_tokens - overlap_tokens``; a trailing
+    window shorter than ``min_chunk_tokens`` is dropped UNLESS it is
+    the doc's only window (short docs pass through whole).  Tokens are
+    the whitespace tokens of ``token_count_ds`` so chunk token counts
+    reconcile with the corpus token accounting.  Batch-local flat-map —
+    no shuffle, no cross-doc state; rows with null/empty text emit no
+    chunks."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap_tokens
+    out_text = out_text_col or text_col
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        o_ids, o_idx, o_text, o_ntok = [], [], [], []
+        for did, x in zip(ids, texts):
+            if not x:
+                continue
+            spans = [m.span() for m in _QTOK_RE.finditer(x)]
+            n = len(spans)
+            if n == 0:
+                continue
+            ci = 0
+            for start in range(0, n, step):
+                end = min(start + chunk_tokens, n)
+                if (
+                    end - start < min_chunk_tokens
+                    and ci > 0
+                ):
+                    break
+                o_ids.append(did)
+                o_idx.append(ci)
+                o_text.append(x[spans[start][0] : spans[end - 1][1]])
+                o_ntok.append(end - start)
+                ci += 1
+                if end == n:
+                    break
+        id_arr = pa.array(o_ids, t[id_col].type)
+        return pa.table({
+            id_col: id_arr,
+            "chunk_idx": pa.array(o_idx, pa.int64()),
+            out_text: pa.array(o_text, pa.string()),
+            "n_tokens": pa.array(o_ntok, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -73,3 +73,85 @@ def test_quality_after_token_count_no_duplicate_column(ray_session):
     out = add_quality(token_count_ds(rd.from_arrow(t))).to_pandas()
     assert list(out.columns).count("n_tokens") == 1
     assert out.loc[0, "n_tokens"] == 3
+
+
+def _py_chunks(text, chunk, overlap, min_chunk):
+    """Oracle: token spans via the same whitespace tokenizer."""
+    import re
+
+    spans = [m.span() for m in re.finditer(r"[^ \t\n\r\f\v]+", text or "")]
+    out = []
+    step = chunk - overlap
+    ci = 0
+    for start in range(0, len(spans), step):
+        end = min(start + chunk, len(spans))
+        if end - start < min_chunk and ci > 0:
+            break
+        out.append((ci, text[spans[start][0]:spans[end - 1][1]], end - start))
+        ci += 1
+        if end == len(spans):
+            break
+    return out
+
+
+def test_chunk_documents_oracle_and_coverage(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from kgforge.textops import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            " ".join(f"w{i}" for i in range(25)),      # 25 tokens
+            "one  two\tthree\nfour five",              # odd whitespace
+            "short",                                   # 1 token
+            None,                                      # no chunks
+        ],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    got = (chunk_documents(ds, chunk_tokens=10, overlap_tokens=3)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"], ignore_index=True))
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        want = _py_chunks(text, 10, 3, 1)
+        sub = got[got["doc_id"] == did].reset_index(drop=True)
+        assert len(sub) == len(want), did
+        for i, (ci, txt, ntok) in enumerate(want):
+            assert sub.loc[i, "chunk_idx"] == ci
+            assert sub.loc[i, "text"] == txt
+            assert sub.loc[i, "n_tokens"] == ntok
+    # overlap structure: consecutive chunks share their boundary tokens
+    d1 = got[got["doc_id"] == 1]
+    assert d1["n_tokens"].tolist() == [10, 10, 10, 4]  # 25 tokens, step 7
+    # total distinct coverage: last chunk ends at token 25
+    assert d1["text"].iloc[-1].endswith("w24")
+    # validation
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=5, overlap_tokens=5)
+
+
+def test_chunk_documents_no_overlap_conserves_tokens(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.textops import chunk_documents, token_count_ds
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [" ".join(f"t{i}x{j}" for j in range(5 + 7 * i))
+                 for i in range(8)],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    chunks = chunk_documents(ds, chunk_tokens=16, overlap_tokens=0)
+    total_chunk_tokens = int(chunks.to_pandas()["n_tokens"].sum())
+    corpus_tokens = int(
+        token_count_ds(ds).to_pandas()["n_tokens"].sum()
+    )
+    assert total_chunk_tokens == corpus_tokens
+    # string ids keep their dtype
+    docs2 = docs.assign(doc_id=[f"d{i}" for i in range(8)])
+    out = chunk_documents(rd.from_pandas(docs2), chunk_tokens=16).to_pandas()
+    assert out["doc_id"].map(type).eq(str).all()
