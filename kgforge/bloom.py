@@ -146,9 +146,10 @@ def bloom_hit_mask(words_ref, m: int, k: int, col) -> np.ndarray:
     bf = BloomFilter(m, k, ray.get(words_ref))
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # no fill_null: sample_hash_u64 already sentinels nulls (and
+    # fill_null('') crashes on float/date/timestamp keys its contract
+    # supports) — the mask below enforces null-never-matches
     null_mask = np.asarray(col.is_null()) if col.null_count else None
-    if null_mask is not None:
-        col = col.fill_null(0 if pa.types.is_integer(col.type) else "")
     mask = bf.contains_hashes(sample_hash_u64(col, _SEED))
     if null_mask is not None:
         mask &= ~null_mask

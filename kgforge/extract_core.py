@@ -41,8 +41,22 @@ _DROP_CONTAINERS = (
 _DROP_RE = re.compile(
     r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?>.*?</\1\s*>"
 )
-# Unclosed drop-container (malformed page): drop from the open tag to the end.
-_DROP_OPEN_RE = re.compile(r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?>")
+# Self-closing drop tags (<iframe src=x/>, <svg/>) contain nothing — they
+# must be rewritten BEFORE the unclosed-container check below, which would
+# otherwise truncate a valid page at them.
+_DROP_SELF_RE = re.compile(
+    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?/\s*>"
+)
+# HTML5 allows omitting </head>: the head ends where <body> starts.  Only
+# fires when no </head> intervenes — a closed head was already dropped.
+_HEAD_TO_BODY_RE = re.compile(
+    r"(?is)<head(?:\s[^>]*)?>(?:(?!</head\b).)*?(?=<body\b)"
+)
+# Unclosed drop-container (malformed page): drop from the open tag to the
+# end.  Matches only NON-self-closing opens (the [^>]* cannot end in /).
+_DROP_OPEN_RE = re.compile(
+    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*[^/>])?\s*>"
+)
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 
 # Tags that imply a line break before/after their content.
@@ -107,17 +121,51 @@ def normalize_text(text: str) -> str:
     the byte-identity contract has a single definition (SURVEY §2.B3).
     """
     text = unicodedata.normalize("NFC", text)
+    cc_cf = _cc_cf_class()
     out_lines = []
     for line in text.split("\n"):
         # Replace non-newline control/format characters with spaces, collapse
         # whitespace runs (including unicode spaces), strip, drop empties.
-        line = "".join(
-            " " if unicodedata.category(ch) in ("Cc", "Cf") else ch for ch in line
-        )
+        line = cc_cf.sub(" ", line)
         line = _SPACES_RE.sub(" ", line).strip()
         if line:
             out_lines.append(line)
     return "\n".join(out_lines)
+
+
+_CC_CF_CLASS: "re.Pattern | None" = None
+
+
+def _cc_cf_class() -> "re.Pattern":
+    """Compiled character class of every Cc/Cf codepoint as contiguous
+    RANGES (23 of them) — byte-identical to the per-char
+    ``unicodedata.category`` test it replaces, ~5× faster on the
+    corpus-wide extraction hot path.  Built lazily once per process
+    (~0.15 s — a full unicodedata sweep)."""
+    global _CC_CF_CLASS
+    if _CC_CF_CLASS is None:
+        import sys
+
+        cps = [
+            cp for cp in range(sys.maxunicode + 1)
+            if unicodedata.category(chr(cp)) in ("Cc", "Cf")
+        ]
+        ranges: list[tuple[int, int]] = []
+        start = prev = cps[0]
+        for cp in cps[1:]:
+            if cp == prev + 1:
+                prev = cp
+                continue
+            ranges.append((start, prev))
+            start = prev = cp
+        ranges.append((start, prev))
+        pat = "[" + "".join(
+            re.escape(chr(a)) if a == b
+            else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+            for a, b in ranges
+        ) + "]"
+        _CC_CF_CLASS = re.compile(pat)
+    return _CC_CF_CLASS
 
 
 def extract_text(raw_html: bytes | str) -> str:
@@ -135,6 +183,11 @@ def extract_text(raw_html: bytes | str) -> str:
     while prev != text:
         prev = text
         text = _DROP_RE.sub("\n", text)
+    # Valid-HTML5 shapes the unclosed check would mis-truncate at:
+    # self-closing drop tags contain nothing, and an omitted </head>
+    # legally ends where <body> starts.
+    text = _DROP_SELF_RE.sub("\n", text)
+    text = _HEAD_TO_BODY_RE.sub("\n", text)
     # Malformed leftovers: an unclosed <script>/<style>/... swallows the rest.
     m = _DROP_OPEN_RE.search(text)
     if m:
@@ -145,12 +198,14 @@ def extract_text(raw_html: bytes | str) -> str:
     return normalize_text(text)
 
 
-def extract_page_text(raw_html: bytes | str, fallback_text: str | None = None) -> str:
+def extract_page_text(
+    raw_html: bytes | str | None, fallback_text: str | None = None
+) -> str:
     """B1 page-level rule: extract from html; when a page carries no html
-    (e.g. a text-only corpus adapted to the pages schema) fall back to the
-    normalized raw ``text`` column. One definition, shared by the Ray
-    stage and the reference emitter."""
-    out = extract_text(raw_html)
+    (a NULL html column — e.g. a text-only corpus adapted to the pages
+    schema) fall back to the normalized raw ``text`` column. One
+    definition, shared by the Ray stage and the reference emitter."""
+    out = "" if raw_html is None else extract_text(raw_html)
     if not out and fallback_text:
         return normalize_text(fallback_text)
     return out
@@ -202,8 +257,8 @@ def url_normalize(url: str) -> str:
     query = m.group("query")
     if query:
         parts = sorted(p for p in query.split("&") if p)
-        query = "&".join(parts)
-        return f"{scheme}://{host}{path}?{query}"
+        if parts:  # '?&' / '?' alone is no query — same key as without it
+            return f"{scheme}://{host}{path}?" + "&".join(parts)
     return f"{scheme}://{host}{path}"
 
 
@@ -212,6 +267,14 @@ def url_normalize(url: str) -> str:
 
 def stable_u64(s: str, salt: str = "") -> int:
     """Deterministic 64-bit hash (process/ordering independent — unlike
-    builtin ``hash`` which is randomized per process)."""
+    builtin ``hash`` which is randomized per process).
+
+    The salt is plain-concatenated, so ``(salt, s)`` pairs with shifted
+    boundaries collide BY CONSTRUCTION (``('a','bc') == ('ab','c')``).
+    Repo contract: salts are short fixed literals, none a prefix of
+    another ("decontam", "tokpack", "ivfsample", "ngramlm", "qclf", …) —
+    keep that when adding one.  (Length-prefixing would fix the class
+    but change every persisted hash: minhash signatures, content
+    indexes, pack ids.)"""
     h = hashlib.blake2b((salt + s).encode("utf-8"), digest_size=8)
     return int.from_bytes(h.digest(), "big")

@@ -38,6 +38,13 @@ class Plan:
         return [s.name for s in self.steps]
 
 
+def _langs_tuple(langs) -> tuple:
+    """``tuple("en") == ('e','n')`` would filter EVERY row out with no
+    error — the exact silent-misconfig class this registry exists to
+    reject — so a bare string means the one language it names."""
+    return (langs,) if isinstance(langs, str) else tuple(langs)
+
+
 def _registry() -> dict[str, Callable[..., Step]]:
     """Built-in step factory registry (config `op` → Step)."""
     from .steps.extract import add_url_norm, exact_dedup, extract_docs, lang_filter
@@ -52,7 +59,7 @@ def _registry() -> dict[str, Callable[..., Step]]:
             "url_norm", lambda ds: ds.map_batches(add_url_norm, batch_format="pyarrow")
         ),
         "lang_filter": lambda langs=("en",): Step(
-            "lang_filter", lambda ds: lang_filter(ds, tuple(langs))
+            "lang_filter", lambda ds: lang_filter(ds, _langs_tuple(langs))
         ),
         "extract_text": lambda: Step("extract_text", extract_docs),
         "exact_dedup": lambda: Step("exact_dedup", exact_dedup),

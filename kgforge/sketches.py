@@ -21,15 +21,37 @@ def _hll_zero() -> np.ndarray:
     return np.zeros(_M, dtype=np.uint8)
 
 
-def _hll_add_values(regs: np.ndarray, values) -> np.ndarray:
-    for v in values:
-        h = stable_u64(str(v), "hll")
-        idx = h >> (64 - _P)
-        w = h & ((1 << (64 - _P)) - 1)  # low 52 bits
-        rank = (64 - _P) - w.bit_length() + 1  # = 53 when w == 0
-        if rank > regs[idx]:
-            regs[idx] = rank
+def _hll_add_hashes(regs: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized register update from a u64 hash array: bucket index =
+    top P bits, rank = leading-zero count of the low 64-P bits + 1.
+    bit_length is float-log2 with an exact ±1 correction (float64
+    rounding can misplace values adjacent to a power of two)."""
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _P)) - 1)
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    if nz.any():
+        v = w[nz]
+        lw = np.floor(np.log2(v.astype(np.float64))).astype(np.int64) + 1
+        over = v >= (np.uint64(1) << lw.astype(np.uint64))
+        lw[over] += 1
+        under = v < (np.uint64(1) << (lw.astype(np.uint64) - np.uint64(1)))
+        lw[under] -= 1
+        bl[nz] = lw
+    rank = ((64 - _P) - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
     return regs
+
+
+def _hll_add_values(regs: np.ndarray, values) -> np.ndarray:
+    """Scalar-iterable form (tests, tiny inputs): hashes str(v) exactly
+    like the pre-vectorization implementation."""
+    h = np.array(
+        [stable_u64(str(v), "hll") for v in values], dtype=np.uint64
+    )
+    return _hll_add_hashes(regs, h)
 
 
 def hll_estimate(regs: np.ndarray) -> float:
@@ -58,8 +80,21 @@ class HllDistinct(AggregateFnV2):
             col = block[self.get_target_column()].tolist()
         # v == v filters float NaN: pandas blocks surface nulls as NaN
         # (not None), which would otherwise count as a distinct value on
-        # the pandas path only — same data, different estimate per format
-        return _hll_add_values(_hll_zero(), (v for v in col if v is not None and v == v))
+        # the pandas path only — same data, different estimate per format.
+        # Hash the block's UNIQUE values only (duplicates update the same
+        # register identically, so registers — and estimates — are
+        # BIT-IDENTICAL to the old per-row loop), then one vectorized
+        # register pass: the per-row stable_u64 loop was the hot path.
+        import pandas as _pd
+
+        vals = [v for v in col if v is not None and v == v]
+        if not vals:
+            return _hll_zero()
+        _codes, uniques = _pd.factorize(np.asarray(vals, dtype=object))
+        uh = np.array(
+            [stable_u64(str(u), "hll") for u in uniques], dtype=np.uint64
+        )
+        return _hll_add_hashes(_hll_zero(), uh)
 
     def combine(self, current_accumulator: np.ndarray, new: np.ndarray) -> np.ndarray:
         return np.maximum(current_accumulator, new)

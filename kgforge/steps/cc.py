@@ -87,13 +87,21 @@ def _lookup_groupby(keyed_rows, labels_rows):
     )
 
 
-def cc_label_propagation(edges_ds, max_rounds: int = 50, num_blocks: int = 8):
+def cc_label_propagation(
+    edges_ds, max_rounds: int = 50, num_blocks: int | None = None
+):
     """edges(a,b) → Dataset(node, label) with label = component min id.
 
     ``num_blocks`` pins the label table's block count per round — the
     per-round ``union`` otherwise DOUBLES blocks (2^rounds blocks by
-    round 8, measured 24 s/round from pure scheduling overhead); size it
-    to the cluster at scale."""
+    round 8, measured 24 s/round from pure scheduling overhead).  The
+    default scales with cluster CPUs via ``rayutil.join_partitions``
+    (a hard-coded 8 capped every downstream stage at 8-wide on 32 cpus —
+    the exact shape the forced-distributed campaign measured at 10×)."""
+    if num_blocks is None:
+        from ..rayutil import join_partitions
+
+        num_blocks = join_partitions(edges_ds.count())
     sym = _sym_edges(edges_ds).materialize()
 
     # initial labels: every endpoint labels itself
@@ -159,10 +167,29 @@ def cc_label_propagation(edges_ds, max_rounds: int = 50, num_blocks: int = 8):
 
 
 def _checksum(labels_ds) -> int:
-    from ..extract_core import stable_u64
+    """Order-independent convergence checksum, computed IN-CLUSTER: each
+    batch XOR-reduces a mix of its (node, label) hashes to ONE u64 and
+    only those per-batch words reach the driver.  (The old form streamed
+    the whole label table through the driver and blake2b'd it row by row
+    in Python, every round — corpus-scale driver traffic on the path
+    whose contract is that nothing corpus-sized lands there.  Hashing
+    node and label SEPARATELY then mixing also kills the old composite
+    string's boundary ambiguity: 'a→b'+'c' vs 'a'+'b→c'.)"""
+    import numpy as np
+
+    from ..relops import _splitmix64, sample_hash_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        hn = sample_hash_u64(t["node"], 0xCC01)
+        hl = sample_hash_u64(t["label"], 0xCC02)
+        mixed = _splitmix64(hn ^ _splitmix64(hl))
+        word = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
+        return pa.table({"w": pa.array([int(word)], pa.uint64())})
 
     acc = 0
-    for b in labels_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist()):
-            acc ^= stable_u64(f"{n}→{l}", "cc")
+    for b in labels_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for w in b["w"].to_pylist():
+            acc ^= int(w)
     return acc

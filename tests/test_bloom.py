@@ -88,3 +88,43 @@ def test_build_bloom_empty_build_side_rejects_all(ray_session):
     bf = build_bloom(empty, "k", capacity=100, fpp=0.01)
     probe = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
     assert bloom_semi_filter(probe, "k", bf).count() == 0
+
+
+def test_bloom_semi_filter_nullable_noninteger_keys(ray_session):
+    """Float/timestamp keys with nulls: sample_hash_u64's contract covers
+    them; the old fill_null('') crashed mid-stream."""
+    import datetime
+
+    import pandas as pd
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from kgforge.bloom import _SEED, BloomFilter, bloom_semi_filter
+    from kgforge.relops import sample_hash_u64
+
+    def _bf(keys, typ):
+        f = BloomFilter.for_capacity(16)
+        f.add_hashes(sample_hash_u64(pa.array(keys, typ), _SEED))
+        return f
+
+    bf = _bf([1.5, 2.5], pa.float64())
+    probe = rd.from_pandas(pd.DataFrame({
+        "k": [1.5, None, 99.0, 2.5],
+        "v": list(range(4)),
+    }))
+    kept = bloom_semi_filter(probe, "k", bf).to_pandas()
+    assert set(kept["v"]) >= {0, 3}          # true matches survive
+    assert 1 not in set(kept["v"])           # null never matches
+
+    ts = [datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)]
+    bf2 = _bf(ts, pa.timestamp("us"))
+    # same unit as the build side: the string canonicalization hashes
+    # "…00.000000" differently from a ns-precision "…00.000000000"
+    probe2 = rd.from_arrow(pa.table({
+        "k": pa.array([ts[0], None, datetime.datetime(2030, 5, 5)],
+                      pa.timestamp("us")),
+        "v": pa.array([0, 1, 2], pa.int64()),
+    }))
+    kept2 = bloom_semi_filter(probe2, "k", bf2).to_pandas()
+    assert 0 in set(kept2["v"]) and 1 not in set(kept2["v"])

@@ -74,3 +74,38 @@ def test_url_normalize():
 def test_split_sentences():
     assert split_sentences("A b. C d! E\nF g?") == ["A b.", "C d!", "E", "F g?"]
     assert split_sentences("") == []
+
+
+def test_extract_valid_html5_shapes_not_truncated():
+    """Omitted </head> (legal HTML5) and self-closing drop tags must not
+    swallow the page — the unclosed-container truncation used to fire on
+    both and silently empty valid documents."""
+    from kgforge.extract_core import extract_text
+
+    no_head_close = ("<html><head><meta charset=\"utf-8\"><title>T</title>"
+                     "<body><p>Important article text</p></body></html>")
+    assert extract_text(no_head_close) == "Important article text"
+
+    self_closing = "<p>before</p><iframe src=x/><p>after</p>"
+    assert extract_text(self_closing) == "before\nafter"
+    assert extract_text("<p>a</p><svg/><p>b</p>") == "a\nb"
+
+    # genuinely unclosed script still truncates (rest is code)
+    assert extract_text("<p>keep</p><script>var x=1;") == "keep"
+
+
+def test_extract_page_text_null_html_falls_back():
+    from kgforge.extract_core import extract_page_text
+
+    assert extract_page_text(None, "plain  text here") == "plain text here"
+    assert extract_page_text(None, None) == ""
+    assert extract_page_text(None, "") == ""
+
+
+def test_url_normalize_empty_query_matches_bare():
+    from kgforge.extract_core import url_normalize
+
+    bare = url_normalize("http://x.com/a")
+    assert url_normalize("http://X.com/a?&") == bare
+    assert url_normalize("http://x.com/a?") == bare
+    assert url_normalize("http://x.com/a?b=1&") == "http://x.com/a?b=1"

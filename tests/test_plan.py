@@ -50,3 +50,22 @@ def test_unknown_param_raises():
         plan_from_config([{"op": "limit", "count": 5}])
     # correct keys still build
     plan_from_config([{"op": "lang_filter", "langs": ["de"]}, {"op": "limit", "n": 5}])
+
+
+def test_lang_filter_accepts_bare_string(ray_session):
+    """langs='en' must mean the language 'en' — tuple('en') == ('e','n')
+    silently filtered every row out."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.plan import plan_from_config
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": ["http://a/1", "http://a/2"],
+        "lang": ["en", "de"],
+        "html": ["<p>x</p>", "<p>y</p>"],
+        "text": [None, None],
+    }))
+    plan = plan_from_config([{"op": "lang_filter", "langs": "en"}])
+    out = plan.run(ds).to_pandas()
+    assert out["lang"].tolist() == ["en"]
