@@ -192,21 +192,22 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     band when max_hamming ≤ 3); verified by exact hamming distance."""
 
     def fp_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = [str(i) for i in batch[id_col].to_pylist()]
         texts = batch[text_col].to_pylist()
-        bks, oids, fps = [], [], []
-        for i, t in zip(ids, texts):
-            fp = simhash(t)
-            for b in range(4):
-                band_val = (fp >> (16 * b)) & 0xFFFF
-                bks.append(f"{b}:{band_val:04x}")
-                oids.append(str(i))
-                fps.append(fp - (1 << 63))  # shift to int64 range
+        # simhash() is inherently per-doc; the 4× band explosion below is
+        # vectorized (int64 band keys, no per-row string formatting)
+        fps = np.array([simhash(t) for t in texts], dtype=np.uint64)
+        n = len(fps)
+        bks = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_val = (fps >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bks[b * n:(b + 1) * n] = (np.int64(b) << np.int64(16)) | band_val.astype(np.int64)
+        fp_i64 = (fps - np.uint64(1 << 63)).view(np.int64)  # shift to int64 range
         return pa.table(
             {
-                "band_key": pa.array(bks, pa.string()),
-                "doc": pa.array(oids, pa.string()),
-                "fp": pa.array(fps, pa.int64()),
+                "band_key": pa.array(bks, pa.int64()),
+                "doc": pa.array(ids * 4, pa.string()),
+                "fp": pa.array(np.tile(fp_i64, 4), pa.int64()),
             }
         )
 
@@ -293,19 +294,23 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.
         mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1, norms)
-        bks, oids, vecs = [], [], []
+        n = len(ids)
+        # fully vectorized explode: int64 band key = table_idx << 40 | sign
+        # bits (n_planes ≤ 32 so keys < 2^32); vectors tiled once, never
+        # copied per row
+        bks = np.empty(n_tables * n, dtype=np.int64)
         for pi, planes in enumerate(plane_sets):
             bits = (mat @ planes) > 0
             keys = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
-            for i, kk in enumerate(keys):
-                bks.append(f"{pi}:{int(kk):08x}")
-                oids.append(ids[i])
-                vecs.append(mat[i])
+            bks[pi * n:(pi + 1) * n] = (np.int64(pi) << np.int64(40)) | keys
+        vecs_flat = np.tile(mat, (n_tables, 1)).reshape(-1)
         return pa.table(
             {
-                "band_key": pa.array(bks, pa.string()),
-                "doc": pa.array(oids, pa.string()),
-                "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32(), dim)),
+                "band_key": pa.array(bks, pa.int64()),
+                "doc": pa.array(ids * n_tables, pa.string()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs_flat, pa.float32()), dim
+                ),
             }
         )
 
@@ -1223,18 +1228,27 @@ def incremental_dedup_filter(
         else set()
     )
     dup_ref = ray.put(dup_keys)
+    # vectorized h1 pre-screen (the keep fn runs over EVERY shard row, so
+    # a per-row Python pair lookup there was the hot path): exact pair
+    # membership is only checked for the h1 hits — O(true dups + rare
+    # h1-only collisions) Python work per batch
+    dup_h1_sorted = np.sort(np.fromiter((a for a, _ in dup_keys), dtype=np.int64,
+                                        count=len(dup_keys))) if dup_keys else None
 
     def keep(t: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        if dups:
-            mask = np.array(
-                [
-                    (a, b) not in dups
-                    for a, b in zip(t["__h1"].to_pylist(), t["__h2"].to_pylist())
-                ],
-                dtype=bool,
-            )
-            t = t.filter(pa.array(mask))
+        if dup_h1_sorted is not None and len(dup_h1_sorted):
+            h1 = t["__h1"].to_numpy()
+            pos = np.searchsorted(dup_h1_sorted, h1)
+            pos[pos == len(dup_h1_sorted)] = 0
+            cand_mask = dup_h1_sorted[pos] == h1
+            if cand_mask.any():
+                dups = ray.get(dup_ref)
+                h2 = t["__h2"].to_numpy()
+                mask = np.ones(t.num_rows, dtype=bool)
+                for x in np.nonzero(cand_mask)[0]:
+                    if (int(h1[x]), int(h2[x])) in dups:
+                        mask[x] = False
+                t = t.filter(pa.array(mask))
         return t.drop_columns(["__h1", "__h2"])
 
     return hashed.map_batches(keep, batch_format="pyarrow")
