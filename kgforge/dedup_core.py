@@ -95,17 +95,19 @@ def jaccard(a: set[int], b: set[int]) -> float:
 
 
 def simhash(text: str, dim: int = 64) -> int:
-    """64-bit SimHash over word tokens (near-dup fingerprint)."""
-    acc = np.zeros(dim, dtype=np.int64)
-    for tok in text.lower().split():
-        h = stable_u64(tok, "simhash")
-        for i in range(dim):
-            acc[i] += 1 if (h >> i) & 1 else -1
-    out = 0
-    for i in range(dim):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over word tokens (near-dup fingerprint).  The
+    per-token blake2b stays a Python loop (hashed over UNIQUE tokens
+    with counts — Zipf reuse makes that cheap); the bit accumulation is
+    one vectorized (tokens × dim) pass instead of the old 64-iteration
+    inner loop per token."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    hs = np.array([stable_u64(t, "simhash") for t in uniq], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(dim, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return int((np.uint64(1) << np.arange(dim, dtype=np.uint64))[acc > 0].sum())
 
 
 def hamming64(a: int, b: int) -> int:
