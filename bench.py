@@ -287,6 +287,19 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         shuffle_shard(docs_ds, shard_dir, 8, id_col="doc_id", seed=1)
         extras["shuffle_shard_sec"] = round(time.perf_counter() - t0, 3)
 
+        # duplicated-span removal (Lee-et-al substring dedup); n=20 so
+        # the synthetic corpus's shared sentence runs actually collide
+        from kgforge.spandedup import substring_dedup
+        from ray.data.aggregate import Sum as _Sum
+
+        t0 = time.perf_counter()
+        span_out = substring_dedup(docs_ds, "doc_id", "text", n=20)
+        span_cut = span_out.aggregate(_Sum("n_dropped_chars", alias_name="s"))
+        span_sec = time.perf_counter() - t0
+        extras["substring_dedup_sec"] = round(span_sec, 3)
+        extras["substring_dedup_docs_per_sec"] = round(n_docs / span_sec, 1)
+        extras["substring_chars_dropped"] = int(span_cut["s"] or 0)
+
         # learned quality filter: train a tiny seed-vs-web model (cost
         # is all in the distributed scoring pass, which is what scales)
         from kgforge.qualityclf import score_quality, train_quality_classifier

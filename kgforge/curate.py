@@ -278,6 +278,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="k-means cluster count for SemDeDup (default ~N/1024)")
     p.add_argument("--semdedup-encoder", default="hashed_bow",
                    help="registered encoder name for the SemDeDup embeddings")
+    p.add_argument("--substring-dedup-ngram", type=int, default=None,
+                   help="enable duplicated-span removal at this window size "
+                        "(Lee-et-al substring dedup; 50 is the standard)")
     p.add_argument("--n-shards", type=int, default=0,
                    help="after curation, write <out>/shards/shard=K/ as a "
                         "deterministic global shuffle of the curated docs")
@@ -384,6 +387,7 @@ def main(argv: list[str] | None = None) -> None:
         quality_model_threshold=args.quality_model_threshold,
         perplexity_lm=lm,
         max_perplexity=args.max_perplexity,
+        substring_dedup_ngram=args.substring_dedup_ngram,
     )
     import pyarrow as pa
 

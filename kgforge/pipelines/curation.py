@@ -107,6 +107,7 @@ def curate_corpus(
     quality_model_threshold: float = 0.5,
     perplexity_lm=None,
     max_perplexity: float | None = None,
+    substring_dedup_ngram: int | None = None,
 ) -> CurationResult:
     """Optional hygiene stages (all off by default, each the library
     operator it names): ``repetition`` (True = Gopher Table A1
@@ -378,6 +379,21 @@ def curate_corpus(
         cur = cur.materialize()
         dropped = cur.aggregate(Sum("n_dropped_paragraphs", alias_name="s"))
         st["paragraphs_dropped"] = int(dropped["s"] or 0)
+
+    # 5b. exact substring (duplicated-span) dedup: Lee-et-al-style first
+    #     occurrence keeps, every other occurrence of a repeated n-token
+    #     span is cut — catches boilerplate runs that are not
+    #     paragraph-aligned.  Runs AFTER paragraph dedup (smaller input)
+    #     and after the survivor index (3b identity is pre-rewrite text);
+    #     substring_dedup pins its own input, so streaming mode is safe.
+    if substring_dedup_ngram is not None:
+        from kgforge.spandedup import substring_dedup
+
+        cur = substring_dedup(cur, id_col, text_col, n=substring_dedup_ngram)
+        if counting:
+            cur = cur.materialize()
+            cut = cur.aggregate(Sum("n_dropped_chars", alias_name="s"))
+            st["substring_chars_dropped"] = int(cut["s"] or 0)
 
     packed = None
     if pack:
