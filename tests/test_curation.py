@@ -255,13 +255,15 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
         )
     ).materialize()
     dist = curate_corpus(
-        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True
+        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True,
+        substring_dedup_ngram=6,
     )
     for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
                 "KGFORGE_DROP_APPLY_BROADCAST_ROWS", "KGFORGE_INC_DEDUP_DIST_ROWS"):
         monkeypatch.delenv(var)
     base = curate_corpus(
-        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True
+        ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True,
+        substring_dedup_ngram=6,
     )
     a = dist.docs.to_pandas().sort_values("doc_id", ignore_index=True)
     b = base.docs.to_pandas().sort_values("doc_id", ignore_index=True)
@@ -270,7 +272,12 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
     assert (
         a["n_dropped_paragraphs"].tolist() == b["n_dropped_paragraphs"].tolist()
     )
+    assert a["n_dropped_chars"].tolist() == b["n_dropped_chars"].tolist()
     assert dist.stats["after_neardup"] == base.stats["after_neardup"]
+    assert (
+        dist.stats["substring_chars_dropped"]
+        == base.stats["substring_chars_dropped"]
+    )
     # packing is BATCH-LOCAL by design (documented trade): the two plans
     # leave different block layouts, so sequence counts may differ —
     # only the schema contract is layout-independent
