@@ -52,10 +52,12 @@ def ref_substring_dedup(docs, n):
     return out
 
 
-def _run(docs, n, strategy):
+def _run(docs, n, strategy, blocks: int = 1):
     ds = rd.from_pandas(
         pd.DataFrame({"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]})
     )
+    if blocks > 1:  # multi-block layouts hit the empty-block join landmines
+        ds = ds.repartition(blocks)
     got = (
         substring_dedup(ds, "doc_id", "text", n=n, strategy=strategy)
         .to_pandas()
@@ -122,8 +124,8 @@ def test_driver_distributed_equality_and_string_ids(ray_session):
         words = " ".join(rng.choice(vocab, rng.randint(3, 40)))
         txt = words + (" " + shared if i % 4 == 0 else "")
         docs.append((f"doc{i:03d}", txt))
-    a = _run(docs, 6, "driver")
-    b = _run(docs, 6, "distributed")
+    a = _run(docs, 6, "driver", blocks=7)
+    b = _run(docs, 6, "distributed", blocks=7)
     pd.testing.assert_frame_equal(a, b)
     ref = sorted(ref_substring_dedup(docs, 6))
     assert a["text"].tolist() == [t for _, t, _ in ref]
