@@ -294,6 +294,64 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# corpus-relative quantile band filter (F7)
+# ---------------------------------------------------------------------------
+
+
+def quantile_thresholds(
+    ds: Dataset, col: str, qs: Sequence[float], *, delta: int = 500
+) -> dict[float, float]:
+    """{q: threshold} for ``col`` via ONE mergeable t-digest aggregate
+    pass (sketches.TDigestQuantiles) — bounded by ~delta centroids per
+    block regardless of cardinality or corpus size, so corpus-relative
+    thresholds never need a value gather."""
+    from kgforge.sketches import TDigestQuantiles
+
+    row = ds.aggregate(
+        TDigestQuantiles(col, quantiles=tuple(qs), delta=delta, alias_name="__td")
+    )
+    td = (row or {}).get("__td") or {}
+    return {float(q): float(td.get(f"q{q:g}", float("nan"))) for q in qs}
+
+
+def quantile_filter(
+    ds: Dataset,
+    col: str,
+    lo_q: float = 0.0,
+    hi_q: float = 1.0,
+    *,
+    delta: int = 500,
+) -> Dataset:
+    """Keep rows whose ``col`` lies inside the corpus-relative
+    ``[quantile(lo_q), quantile(hi_q)]`` band — the CCNet-style
+    "drop the worst X% / best Y%" curation step for any numeric score
+    (quality, perplexity, length) without a fixed absolute threshold.
+
+    Thresholds come from one t-digest pass (approximate — tails are
+    near-exact by the k1 scale function); the filter is a second
+    vectorized streaming pass.  The input is materialized once so the
+    two passes share one lineage execution.  Null/NaN values never
+    match the band (SQL comparison semantics)."""
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    ds = ds.materialize()
+    thr = quantile_thresholds(ds, col, (lo_q, hi_q), delta=delta)
+    lo_v, hi_v = thr[lo_q], thr[hi_q]
+    if np.isnan(lo_v) or np.isnan(hi_v):  # empty / all-null input
+        return ds
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t[col]
+        mask = pc.and_kleene(
+            pc.greater_equal(v, pa.scalar(lo_v)),
+            pc.less_equal(v, pa.scalar(hi_v)),
+        )
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # per-group cap / top-k per group (F6)
 # ---------------------------------------------------------------------------
 

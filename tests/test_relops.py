@@ -410,3 +410,41 @@ def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
         for _, md in b.blocks
     ]
     assert blocks == [0]
+
+
+def test_quantile_filter_band(ray_session):
+    """Corpus-relative band filter: thresholds within t-digest tolerance
+    of exact quantiles, kept fraction ≈ the band width, nulls dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.relops import quantile_filter, quantile_thresholds
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(0, 1.5, 20000)  # heavy-tailed, like quality/ppl
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(len(vals)), "v": vals})).repartition(8)
+
+    thr = quantile_thresholds(ds, "v", (0.1, 0.9))
+    lo_exact, hi_exact = np.quantile(vals, [0.1, 0.9])
+    assert abs(thr[0.1] - lo_exact) / lo_exact < 0.05
+    assert abs(thr[0.9] - hi_exact) / hi_exact < 0.05
+
+    kept = quantile_filter(ds, "v", 0.1, 0.9).to_pandas()
+    frac = len(kept) / len(vals)
+    assert 0.77 <= frac <= 0.83
+    assert kept["v"].min() >= thr[0.1] and kept["v"].max() <= thr[0.9]
+
+    # nulls never match the band
+    with_null = rd.from_pandas(pd.DataFrame({"v": [1.0, None, 2.0, 3.0]}))
+    out = quantile_filter(with_null, "v", 0.0, 1.0).to_pandas()
+    assert out["v"].notna().all() and len(out) == 3
+
+    # degenerate empty input passes through
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.array([], dtype="float64")}))
+    assert quantile_filter(empty, "v", 0.2, 0.8).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_filter(ds, "v", 0.9, 0.1)
