@@ -8,9 +8,6 @@ derived from a fixed seed; identical on every worker.
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 
 from .extract_core import stable_u64
@@ -34,11 +31,35 @@ _PERM_A, _PERM_B = _perm_params()
 
 def shingles(text: str, k: int = DEFAULT_SHINGLE_K) -> set[int]:
     """Word k-gram shingle set, each shingle hashed to u64. Word shingles
-    (not char) hold up on boilerplate-stripped text and keep sets small."""
+    (not char) hold up on boilerplate-stripped text and keep sets small.
+
+    Hash scheme (round 4): blake2b over the doc's UNIQUE tokens once
+    (token repetition makes that the cheap part), then the shared
+    order-sensitive rolling combine ``acc = splitmix64(acc ^ tok_hash)``
+    over k shifted views — one vectorized pass instead of a Python
+    blake2b call per shingle (the old per-k-gram-string digest was the
+    single largest term of the 1.2M-page band pass, ~16 s of 68 s).
+    Same k-gram identity → same set element, so set cardinalities,
+    intersections and every jaccard() value are unchanged; only the raw
+    hash VALUES differ from the pre-round-4 scheme (nothing persists
+    them — signatures and bands are always recomputed)."""
     toks = text.lower().split()
-    if len(toks) < k:
-        return {stable_u64(" ".join(toks), "shingle")} if toks else set()
-    return {stable_u64(" ".join(toks[i:i + k]), "shingle") for i in range(len(toks) - k + 1)}
+    if not toks:
+        return set()
+    import pandas as _pd
+
+    from .relops import _splitmix64
+
+    codes, uniques = _pd.factorize(np.asarray(toks, dtype=object))
+    th = np.array(
+        [stable_u64(t, "shingle") for t in uniques], dtype=np.uint64
+    )[codes]
+    n = min(k, len(toks))  # short docs: one shingle over all tokens
+    L = len(th) - n + 1
+    acc = np.zeros(L, dtype=np.uint64)
+    for j in range(n):
+        acc = _splitmix64(acc ^ th[j : j + L])
+    return set(acc.tolist())
 
 
 def minhash_signature(sh: set[int], num_perm: int = NUM_PERM) -> np.ndarray:
@@ -56,21 +77,113 @@ def minhash_signature(sh: set[int], num_perm: int = NUM_PERM) -> np.ndarray:
     return hv.min(axis=1).astype(np.uint64)
 
 
+def batch_minhash_bands(
+    texts: list, k: int = DEFAULT_SHINGLE_K, num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch minhash: texts → ((n_docs, num_perm) uint64 signature
+    matrix, (n_docs, bands) int64 band hashes), with per-doc values
+    EXACTLY equal to ``minhash_signature(shingles(t))`` /
+    ``lsh_bands(sig)`` (equality-tested) — the per-doc path stays the
+    definition, this is its amortized form: ONE factorize + blake2b pass
+    over the batch's unique tokens (cross-doc Zipf reuse), ONE rolling
+    splitmix window pass over the flat token stream (doc-boundary
+    windows masked), then per-doc minima via ``np.minimum.reduceat``
+    over doc-contiguous window segments in perm-row chunks (bounded
+    temp memory).  Duplicate windows within a doc don't affect a min,
+    so no per-doc set is ever built."""
+    import pandas as _pd
+
+    from .relops import _splitmix64, ngram_window_hashes
+
+    n_docs = len(texts)
+    sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    toks_per = [(x or "").lower().split() for x in texts]
+    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
+    flat = [t for toks in toks_per for t in toks]
+    if flat:
+        codes, uniques = _pd.factorize(np.asarray(flat, dtype=object))
+        uhash = np.array([stable_u64(t, "shingle") for t in uniques], dtype=np.uint64)
+        th = uhash[codes]
+    else:
+        th = np.array([], dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    acc, valid = ngram_window_hashes(th, doc_idx, k)
+    L = len(acc)
+    wh = acc[valid] if L else np.array([], dtype=np.uint64)
+    wdoc = doc_idx[:L][valid] if L else np.array([], dtype=np.int64)
+    # short docs (0 < T < k): one shingle over ALL tokens (shingles()'s
+    # n = min(k, T) rule) — rare, handled per doc
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    if len(short):
+        extra_h, extra_d = [], []
+        starts = np.cumsum(lens) - lens
+        for d in short:
+            s = int(starts[d])
+            seg = th[s : s + int(lens[d])]
+            a = np.zeros(1, dtype=np.uint64)
+            for j in range(len(seg)):
+                a = _splitmix64(a ^ seg[j : j + 1])
+            extra_h.append(a[0])
+            extra_d.append(d)
+        wh = np.concatenate([wh, np.array(extra_h, dtype=np.uint64)])
+        wdoc = np.concatenate([wdoc, np.array(extra_d, dtype=np.int64)])
+    if len(wh):
+        order = np.argsort(wdoc, kind="stable")  # doc-contiguous segments
+        wh, wdoc = wh[order], wdoc[order]
+        seg_starts = np.r_[0, 1 + np.nonzero(wdoc[1:] != wdoc[:-1])[0]]
+        seg_ends = np.r_[seg_starts[1:], len(wh)]
+        seg_docs = wdoc[seg_starts]
+        # per-doc (num_perm × n_i) minhash — deliberately NOT a batched
+        # reduceat over a (perm-chunk × all-windows) matrix: that form
+        # measured 4.4× faster single-threaded but SLOWER at 32-way
+        # parallelism (its ~33 MB temporaries are DRAM-bound and the
+        # workers saturate memory bandwidth; the per-doc ~200 KB
+        # temporaries stay cache-resident).  The batched token hash +
+        # window pass above is where the actual win was.
+        A, B = _PERM_A[:num_perm], _PERM_B[:num_perm, None]
+        for s, e, d in zip(seg_starts.tolist(), seg_ends.tolist(), seg_docs.tolist()):
+            prod = np.multiply.outer(A, wh[s:e])  # wraps mod 2^64
+            hv = (prod + B) % _MERSENNE_P
+            sigs[d] = hv.min(axis=1)
+    return sigs, band_hashes(sigs, bands)
+
+
+def band_hashes(sigs: np.ndarray, bands: int = LSH_BANDS) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix → (n_docs, bands)
+    int64 band hashes, vectorized ACROSS docs: per band, a splitmix64
+    chain over its ``rows`` signature components seeded by the band
+    index (the round-4 replacement for one blake2b call per (doc, band)
+    — 16 digests per doc was a visible slice of the corpus-wide band
+    pass).  Equal band content → equal hash; the band seed keeps the
+    same content in different band positions from colliding."""
+    from .relops import _splitmix64
+
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    out = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        with np.errstate(over="ignore"):
+            acc = _splitmix64(
+                np.full(n, np.uint64((b + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF),
+                        dtype=np.uint64)
+            )
+            for r in range(rows):
+                acc = _splitmix64(acc ^ sigs[:, b * rows + r])
+        out[:, b] = acc.view(np.int64)
+    return out
+
+
 def lsh_bands(sig: np.ndarray, bands: int = LSH_BANDS) -> list[tuple[str, int]]:
     """Split the signature into bands; per band emit (string key, signed
     int64 hash) — the string key is the exact bucket identity, the int64
     is the same digest as a cheap fixed-width shuffle/filter column. Equal
-    keys → LSH candidate pair."""
-    rows = len(sig) // bands
-    out = []
-    for b in range(bands):
-        chunk = sig[b * rows:(b + 1) * rows]
-        d = hashlib.blake2b(
-            struct.pack(f"<{rows}Q", *chunk.tolist()), digest_size=8, salt=bytes([b])
-        ).digest()
-        h = int.from_bytes(d, "big") - (1 << 63)
-        out.append((f"{b}:{d.hex()}", h))
-    return out
+    keys → LSH candidate pair.  Defined THROUGH ``band_hashes`` so the
+    per-doc form and the batch kernel cannot diverge."""
+    bh = band_hashes(sig.reshape(1, -1).astype(np.uint64, copy=False), bands)[0]
+    return [
+        (f"{b}:{int(h) & 0xFFFFFFFFFFFFFFFF:016x}", int(h)) for b, h in enumerate(bh)
+    ]
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = LSH_BANDS) -> list[str]:

@@ -38,7 +38,6 @@ from ..dedup_core import (
     NUM_PERM,
     UnionFind,
     bucket_pair_policy,
-    lsh_bands,
     minhash_signature,
     shingles,
     sig_jaccard,
@@ -55,20 +54,24 @@ def _flat_i64(col) -> np.ndarray:
 
 
 def _sig_rows(batch: pa.Table, include_sig: bool = True) -> pa.Table:
-    """docs → one (url_norm[, sig[128]], band_h[16]) row per doc."""
+    """docs → one (url_norm[, sig[128]], band_h[16]) row per doc.
+    Whole-batch kernel (``dedup_core.batch_minhash_bands`` — one
+    factorize/hash pass over the batch's unique tokens, reduceat minima,
+    vectorized band mixing); values are equality-tested against the
+    per-doc ``minhash_signature(shingles(t))`` definition."""
+    from ..dedup_core import batch_minhash_bands
+
     urls = batch["url_norm"].to_pylist()
     texts = batch["extracted_text"].to_pylist()
-    sigs: list[np.ndarray] = []
-    bhs: list[list[int]] = []
-    for t in texts:
-        sig = minhash_signature(shingles(t))
-        if include_sig:
-            sigs.append(sig.astype(np.int64))
-        bhs.append([bh for _, bh in lsh_bands(sig)])
-    cols = {"url_norm": pa.array(urls, pa.string())}
+    sigs, bhs = batch_minhash_bands(texts)
+    cols: dict = {"url_norm": pa.array(urls, pa.string())}
     if include_sig:
-        cols["sig"] = pa.array(sigs, pa.list_(pa.int64(), NUM_PERM))
-    cols["band_h"] = pa.array(bhs, pa.list_(pa.int64(), LSH_BANDS))
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.view(np.int64).reshape(-1), pa.int64()), NUM_PERM
+        )
+    cols["band_h"] = pa.FixedSizeListArray.from_arrays(
+        pa.array(bhs.reshape(-1), pa.int64()), LSH_BANDS
+    )
     return pa.table(cols)
 
 

@@ -184,3 +184,39 @@ def test_embedding_neardup_generic_dim():
     out = embedding_neardup_pairs(rd.from_arrow(t), "vec_id", "embedding",
                                   threshold=0.95).to_pandas()
     assert {(r.a, r.b) for r in out.itertuples()} == {("1", "2")}
+
+
+def test_batch_minhash_bands_matches_per_doc():
+    """The whole-batch kernel must equal the per-doc definition exactly —
+    signatures AND band hashes — across empty/short/unicode/duplicate
+    docs and random corpora."""
+    import numpy as np
+
+    from kgforge.dedup_core import (
+        batch_minhash_bands,
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = ["alpha", "Beta", "GAMMA", "δelta", "x", "y2", "commonword"]
+    corpora = [
+        [],
+        [""],
+        ["one"],                       # short (< k tokens)
+        ["one two"],                   # short
+        ["one two three"],             # exactly k
+        ["a a a a a", "", "b"],        # repeats + empty + short
+    ]
+    for trial in range(4):
+        corpora.append([
+            " ".join(rng.choice(vocab, rng.randint(0, 30))) for _ in range(25)
+        ])
+    for texts in corpora:
+        sigs, bhs = batch_minhash_bands(texts)
+        for i, t in enumerate(texts):
+            want_sig = minhash_signature(shingles(t))
+            assert (sigs[i] == want_sig).all(), (texts, i)
+            want_bands = np.array([h for _, h in lsh_bands(want_sig)], dtype=np.int64)
+            assert (bhs[i] == want_bands).all(), (texts, i)
