@@ -175,16 +175,33 @@ def prototype_embedding(entity: Entity) -> np.ndarray:
     return hashed_bow(tokens)
 
 
+#: token → (dim index, sign) memo: the linker calls hashed_bow once per
+#: linked sentence and Zipf reuse makes the same tokens recur constantly
+#: — the blake2b per token was the largest single term of the SvoLinker
+#: stage.  Values are pure functions of the token, so caching cannot
+#: change results; the size cap bounds worker memory on adversarial
+#: vocabularies.
+_BOW_MEMO: dict[str, tuple[int, np.float32]] = {}
+_BOW_MEMO_CAP = 1 << 20
+
+
 def hashed_bow(tokens: list[str]) -> np.ndarray:
     """Shared hashed bag-of-words embedding used for BOTH entity prototypes
-    and mention contexts, so cosine(ctx, proto) is meaningful. Fixed
-    accumulation order (token order) → bit-identical across workers."""
+    and mention contexts, so cosine(ctx, proto) is meaningful.  ±1
+    accumulation over float32 is exact integer arithmetic (sentences are
+    far below 2^24 tokens), so accumulation order cannot change the
+    vector — bit-identical across workers and with/without the memo."""
     v = np.zeros(EMB_DIM, dtype=np.float32)
+    memo = _BOW_MEMO
     for t in tokens:
-        h = stable_u64(t, salt="emb")
-        idx = h % EMB_DIM
-        sign = np.float32(1.0) if (h >> 7) & 1 else np.float32(-1.0)
-        v[idx] += sign
+        e = memo.get(t)
+        if e is None:
+            h = stable_u64(t, salt="emb")
+            e = (h % EMB_DIM,
+                 np.float32(1.0) if (h >> 7) & 1 else np.float32(-1.0))
+            if len(memo) < _BOW_MEMO_CAP:
+                memo[t] = e
+        v[e[0]] += e[1]
     n = np.float32(np.sqrt(np.float32((v * v).sum())))
     if n > 0:
         v = v / n
