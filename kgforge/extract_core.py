@@ -121,34 +121,36 @@ def normalize_text(text: str) -> str:
     the byte-identity contract has a single definition (SURVEY §2.B3).
     """
     text = unicodedata.normalize("NFC", text)
-    cc_cf = _cc_cf_class()
-    out_lines = []
-    for line in text.split("\n"):
-        # Replace non-newline control/format characters with spaces, collapse
-        # whitespace runs (including unicode spaces), strip, drop empties.
-        line = cc_cf.sub(" ", line)
-        line = _SPACES_RE.sub(" ", line).strip()
-        if line:
-            out_lines.append(line)
-    return "\n".join(out_lines)
+    # Both substitutions run over the WHOLE text (2 C-level sub calls per
+    # doc instead of 2 per line — the per-line form was ~90 sub calls per
+    # doc): neither pattern can cross a line boundary, because the Cc/Cf
+    # class explicitly excludes \n and _SPACES_RE is [^\S\n]+ — so this
+    # is byte-identical to the per-line formulation (A/B-tested).
+    text = _cc_cf_class().sub(" ", text)
+    text = _SPACES_RE.sub(" ", text)
+    return "\n".join(
+        line for line in (ln.strip() for ln in text.split("\n")) if line
+    )
 
 
 _CC_CF_CLASS: "re.Pattern | None" = None
 
 
 def _cc_cf_class() -> "re.Pattern":
-    """Compiled character class of every Cc/Cf codepoint as contiguous
-    RANGES (23 of them) — byte-identical to the per-char
-    ``unicodedata.category`` test it replaces, ~5× faster on the
-    corpus-wide extraction hot path.  Built lazily once per process
-    (~0.15 s — a full unicodedata sweep)."""
+    """Compiled character class of every Cc/Cf codepoint EXCEPT ``\\n``
+    as contiguous RANGES — byte-identical to the per-char
+    ``unicodedata.category`` test it replaces (the newline exclusion is
+    what lets ``normalize_text`` substitute over the whole text instead
+    of per line), ~5× faster on the corpus-wide extraction hot path.
+    Built lazily once per process (~0.15 s — a full unicodedata
+    sweep)."""
     global _CC_CF_CLASS
     if _CC_CF_CLASS is None:
         import sys
 
         cps = [
             cp for cp in range(sys.maxunicode + 1)
-            if unicodedata.category(chr(cp)) in ("Cc", "Cf")
+            if cp != 0x0A and unicodedata.category(chr(cp)) in ("Cc", "Cf")
         ]
         ranges: list[tuple[int, int]] = []
         start = prev = cps[0]
