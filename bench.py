@@ -87,6 +87,7 @@ _FORCE_DIST_VARS = (
     "KGFORGE_MATERIALIZE_SORT_ROWS",
     "KGFORGE_CONTENT_DEDUP_DIST_ROWS",
     "KGFORGE_INC_DEDUP_DIST_ROWS",
+    "KGFORGE_SPAN_DEDUP_DIST_ROWS",
 )
 
 

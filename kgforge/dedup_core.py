@@ -46,14 +46,9 @@ def shingles(text: str, k: int = DEFAULT_SHINGLE_K) -> set[int]:
     toks = text.lower().split()
     if not toks:
         return set()
-    import pandas as _pd
+    from .relops import _splitmix64, token_hash_stream
 
-    from .relops import _splitmix64
-
-    codes, uniques = _pd.factorize(np.asarray(toks, dtype=object))
-    th = np.array(
-        [stable_u64(t, "shingle") for t in uniques], dtype=np.uint64
-    )[codes]
+    th, _doc_idx, _lens = token_hash_stream([toks], "shingle")
     n = min(k, len(toks))  # short docs: one shingle over all tokens
     L = len(th) - n + 1
     acc = np.zeros(L, dtype=np.uint64)
@@ -92,22 +87,14 @@ def batch_minhash_bands(
     over doc-contiguous window segments in perm-row chunks (bounded
     temp memory).  Duplicate windows within a doc don't affect a min,
     so no per-doc set is ever built."""
-    import pandas as _pd
-
-    from .relops import _splitmix64, ngram_window_hashes
+    from .relops import _splitmix64, ngram_window_hashes, token_hash_stream
 
     n_docs = len(texts)
     sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     toks_per = [(x or "").lower().split() for x in texts]
-    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
-    flat = [t for toks in toks_per for t in toks]
-    if flat:
-        codes, uniques = _pd.factorize(np.asarray(flat, dtype=object))
-        uhash = np.array([stable_u64(t, "shingle") for t in uniques], dtype=np.uint64)
-        th = uhash[codes]
-    else:
-        th = np.array([], dtype=np.uint64)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    # THE shared token-hash prelude (relops) — shingles() goes through
+    # the same helper, so the two forms cannot drift
+    th, doc_idx, lens = token_hash_stream(toks_per, "shingle")
     acc, valid = ngram_window_hashes(th, doc_idx, k)
     L = len(acc)
     wh = acc[valid] if L else np.array([], dtype=np.uint64)

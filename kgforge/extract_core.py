@@ -41,21 +41,29 @@ _DROP_CONTAINERS = (
 _DROP_RE = re.compile(
     r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?>.*?</\1\s*>"
 )
-# Self-closing drop tags (<iframe src=x/>, <svg/>) contain nothing — they
-# must be rewritten BEFORE the unclosed-container check below, which would
-# otherwise truncate a valid page at them.
+# Self-closing drop tags (<svg/>, <iframe src="x"/>) contain nothing —
+# they must be rewritten BEFORE the unclosed-container check below, which
+# would otherwise truncate a valid page at them.  The char before the
+# "/" must be the tag name, whitespace, or a CLOSING QUOTE: in an
+# UNQUOTED attribute value a "/" is part of the value per the HTML5
+# tokenizer (<script src=https://cdn.x/ > is an OPEN tag), and treating
+# it as self-closing would leak an unclosed script body into the text.
 _DROP_SELF_RE = re.compile(
-    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?/\s*>"
+    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*[\"'\s]|\s+)?/\s*>"
 )
 # HTML5 allows omitting </head>: the head ends where <body> starts.  Only
 # fires when no </head> intervenes — a closed head was already dropped.
 _HEAD_TO_BODY_RE = re.compile(
     r"(?is)<head(?:\s[^>]*)?>(?:(?!</head\b).)*?(?=<body\b)"
 )
-# Unclosed drop-container (malformed page): drop from the open tag to the
-# end.  Matches only NON-self-closing opens (the [^>]* cannot end in /).
+# Unclosed drop-container (malformed page): drop from the open tag to
+# the end.  Deliberately PERMISSIVE about a trailing "/" (an unquoted
+# attribute value ending in "/" still makes an OPEN tag per the HTML5
+# tokenizer — <script src=https://x/ > must truncate, not leak its
+# body): genuine self-closing forms were already rewritten to "\n" by
+# _DROP_SELF_RE before this search runs, so they can never match here.
 _DROP_OPEN_RE = re.compile(
-    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*[^/>])?\s*>"
+    r"(?is)<(" + "|".join(_DROP_CONTAINERS) + r")(?:\s[^>]*)?>"
 )
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 

@@ -337,8 +337,10 @@ def quantile_filter(
     ds = ds.materialize()
     thr = quantile_thresholds(ds, col, (lo_q, hi_q), delta=delta)
     lo_v, hi_v = thr[lo_q], thr[hi_q]
-    if np.isnan(lo_v) or np.isnan(hi_v):  # empty / all-null input
-        return ds
+    # NaN thresholds (empty / all-null / all-NaN input) flow into the
+    # filter: NaN comparisons are false, so no row matches — consistent
+    # with the null-never-matches contract on every degenerate input
+    # (the old early-return passed an all-null column through unchanged)
 
     def keep(t: pa.Table) -> pa.Table:
         v = t[col]

@@ -51,6 +51,16 @@ from .relops import ngram_window_hashes
 #: phrases, longer ones miss short boilerplate
 DEFAULT_SPAN_NGRAM = 50
 
+#: 'auto' flips to the distributed plan above this many input DOCS.
+#: Deliberately ~100× below KGFORGE_CONTENT_DEDUP_DIST_ROWS: this
+#: operator's pass-1 driver gather is 8 B per n-token WINDOW (≈ one per
+#: token, ~1k per web doc), not per doc/paragraph — 500k docs ≈ a few
+#: hundred million windows ≈ low-GB driver memory, the same budget the
+#: sibling thresholds encode per row.  Override via
+#: KGFORGE_SPAN_DEDUP_DIST_ROWS (and GRAFT_FORCE_DIST zeroes it in the
+#: bench).
+SPAN_DEDUP_DIST_ROWS = 500_000
+
 _TOK_RE = re.compile(r"\S+")
 
 
@@ -84,25 +94,28 @@ def _flat_tokens_stable(texts: list, salt: str):
     )
 
 
-def _span_windows(texts: list, n: int):
+def _span_windows(texts: list, n: int, *, need_h2: bool = True):
     """(h1 u64, h2 u64, doc_idx, char_start, char_end, window_pos) for
     every n-token window that lies inside one doc.  h1/h2 come from two
     independently salted token-hash streams (an h1 collision does not
     imply an h2 collision), rolled with the SHARED
     ``relops.ngram_window_hashes`` kernel.  ``window_pos`` is the
     doc-local token index of the window's first token — the global
-    (doc id, window_pos) order defines "first occurrence"."""
+    (doc id, window_pos) order defines "first occurrence".
+    ``need_h2=False`` (the pass-1 duplicate scan, which only consumes
+    h1) skips the second tokenize/hash stream — h2 comes back empty."""
     th1, starts, ends, doc_idx = _flat_tokens_stable(texts, "spandedup1")
     if len(th1) < n:
         e = np.array([], dtype=np.int64)
         return (np.array([], dtype=np.uint64), np.array([], dtype=np.uint64),
                 e, e, e, e)
-    # second independent stream: same tokens, different blake2b salt —
-    # recompute only the per-unique-token hash (factorize again is the
-    # cheap part; reuse of codes would need API changes for little gain)
-    th2, _, _, _ = _flat_tokens_stable(texts, "spandedup2")
     acc1, valid = ngram_window_hashes(th1, doc_idx, n)
-    acc2, _ = ngram_window_hashes(th2, doc_idx, n)
+    if need_h2:
+        # second independent stream: same tokens, different blake2b salt
+        th2, _, _, _ = _flat_tokens_stable(texts, "spandedup2")
+        acc2, _ = ngram_window_hashes(th2, doc_idx, n)
+    else:
+        acc2 = np.zeros(0, dtype=np.uint64)
     L = len(acc1)
     d = doc_idx[:L]
     # doc-local window position = flat index − the doc's first flat index
@@ -114,7 +127,7 @@ def _span_windows(texts: list, n: int):
         )
     pos = np.arange(L, dtype=np.int64) - first_flat
     return (
-        acc1[valid], acc2[valid], d[valid],
+        acc1[valid], acc2[valid] if need_h2 else acc2, d[valid],
         starts[:L][valid], ends[n - 1:][valid], pos[valid],
     )
 
@@ -349,21 +362,29 @@ def substring_dedup(
     a Dataset with the same rows, ``text_col`` rewritten with loser
     spans cut, plus ``n_dropped_chars``.  Docs shorter than ``n`` tokens
     are never touched."""
+    import os
+
     import ray
 
-    from .dedup_ops import _dup_h1_values, _resolve_dedup_strategy
+    from .dedup_ops import _dup_h1_values
 
     # every plan reads the input more than once (hash pass + candidate
     # pass + rebuild); pin it so a lazy caller's lineage runs once
     ds = ds.materialize()
-    strategy = _resolve_dedup_strategy(strategy, ds.count)
+    if strategy == "auto":
+        limit = int(
+            os.environ.get("KGFORGE_SPAN_DEDUP_DIST_ROWS", SPAN_DEDUP_DIST_ROWS)
+        )
+        strategy = "distributed" if ds.count() > limit else "driver"
+    if strategy not in ("driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def win_hashes(t: pa.Table) -> pa.Table:
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         h1, _h2, _d, _cs, _ce, _p = _span_windows(
-            pc.fill_null(texts, "").to_pylist(), n
+            pc.fill_null(texts, "").to_pylist(), n, need_h2=False
         )
         return pa.table({"__h1": pa.array(h1.view(np.int64), pa.int64())})
 

@@ -98,11 +98,14 @@ def cc_label_propagation(
     default scales with cluster CPUs via ``rayutil.join_partitions``
     (a hard-coded 8 capped every downstream stage at 8-wide on 32 cpus —
     the exact shape the forced-distributed campaign measured at 10×)."""
+    sym = _sym_edges(edges_ds).materialize()
     if num_blocks is None:
         from ..rayutil import join_partitions
 
-        num_blocks = join_partitions(edges_ds.count())
-    sym = _sym_edges(edges_ds).materialize()
+        # size from the MATERIALIZED symmetric edges (2× the input count
+        # — irrelevant at threshold granularity): counting edges_ds
+        # first would execute a lazy caller's upstream lineage twice
+        num_blocks = join_partitions(sym.count())
 
     # initial labels: every endpoint labels itself
     labels = ensure_schema(

@@ -244,6 +244,7 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
     monkeypatch.setenv("KGFORGE_NEARDUP_DIST_ROWS", "0")
     monkeypatch.setenv("KGFORGE_DROP_APPLY_BROADCAST_ROWS", "0")
     monkeypatch.setenv("KGFORGE_INC_DEDUP_DIST_ROWS", "0")
+    monkeypatch.setenv("KGFORGE_SPAN_DEDUP_DIST_ROWS", "0")
     docs = _corpus()
     ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
     from kgforge.dedup_ops import content_hashes
@@ -259,7 +260,8 @@ def test_curate_corpus_all_strategies_forced_distributed(ray_session, monkeypatc
         substring_dedup_ngram=6,
     )
     for var in ("KGFORGE_CONTENT_DEDUP_DIST_ROWS", "KGFORGE_NEARDUP_DIST_ROWS",
-                "KGFORGE_DROP_APPLY_BROADCAST_ROWS", "KGFORGE_INC_DEDUP_DIST_ROWS"):
+                "KGFORGE_DROP_APPLY_BROADCAST_ROWS", "KGFORGE_INC_DEDUP_DIST_ROWS",
+                "KGFORGE_SPAN_DEDUP_DIST_ROWS"):
         monkeypatch.delenv(var)
     base = curate_corpus(
         ds, min_quality=0.2, neardup_threshold=0.6, known_hashes=known, pack=True,

@@ -86,12 +86,18 @@ def test_extract_valid_html5_shapes_not_truncated():
                      "<body><p>Important article text</p></body></html>")
     assert extract_text(no_head_close) == "Important article text"
 
-    self_closing = "<p>before</p><iframe src=x/><p>after</p>"
+    self_closing = '<p>before</p><iframe src="x"/><p>after</p>'
     assert extract_text(self_closing) == "before\nafter"
     assert extract_text("<p>a</p><svg/><p>b</p>") == "a\nb"
+    assert extract_text("<p>a</p><svg /><p>b</p>") == "a\nb"
 
     # genuinely unclosed script still truncates (rest is code)
     assert extract_text("<p>keep</p><script>var x=1;") == "keep"
+    # HTML5: a "/" inside an UNQUOTED attribute value is part of the
+    # value — the tag is OPEN, so an unclosed script with an unquoted
+    # URL attr must still truncate, never leak its body as text
+    leaky = "<p>keep</p><script src=https://cdn.x.com/lib/>var t=track();"
+    assert extract_text(leaky) == "keep"
 
 
 def test_extract_page_text_null_html_falls_back():

@@ -440,9 +440,12 @@ def test_quantile_filter_band(ray_session):
     out = quantile_filter(with_null, "v", 0.0, 1.0).to_pandas()
     assert out["v"].notna().all() and len(out) == 3
 
-    # degenerate empty input passes through
+    # degenerate inputs: empty stays empty; an all-null column returns
+    # ZERO rows (null never matches — on every path, incl. NaN thresholds)
     empty = rd.from_pandas(pd.DataFrame({"v": pd.array([], dtype="float64")}))
     assert quantile_filter(empty, "v", 0.2, 0.8).count() == 0
+    all_null = rd.from_pandas(pd.DataFrame({"v": pd.array([None, None], dtype="float64")}))
+    assert quantile_filter(all_null, "v", 0.0, 1.0).count() == 0
 
     import pytest as _pytest
 
