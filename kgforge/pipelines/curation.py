@@ -180,7 +180,10 @@ def curate_corpus(
         keep_cols = [id_col, text_col, url_col]
         if cap_order is not None:
             keep_cols.append(cap_order)
-        cur = cur.select_columns(keep_cols)
+        # dedupe: url_col may coincide with another kept column (e.g. a
+        # corpus whose id IS its url) — a duplicate name crashes the
+        # projection
+        cur = cur.select_columns(list(dict.fromkeys(keep_cols)))
     else:
         cur = cur.select_columns([id_col, text_col])
     if counting:

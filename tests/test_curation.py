@@ -876,3 +876,39 @@ def test_curate_cli_jsonl_string_ids_all_dropped(ray_session, tmp_path):
     t = pq.read_table(str(out / "docs"))
     assert t.num_rows == 0
     assert t.schema.field("doc_id").type == "string"
+
+
+def test_curate_corpus_url_col_equals_id_col(ray_session):
+    """A corpus whose id IS its url (the common crawl shape) must work
+    with max_per_domain: the projection used to crash on the duplicate
+    column name."""
+    topics = [
+        "rivers and the boats that carry goods to the market each day",
+        "railways and the trains that crossed the high mountain passes",
+        "gardens in the spring rain with many bright flowers blooming",
+        "libraries and the books about stars and planets in the night",
+        "kitchens where the soup and the bread are made with fresh herbs",
+        "festivals where the music played in the town square all summer",
+        "harbors and the ships that waited for the morning tide to turn",
+        "forests where the old trees shaded the quiet walking trails",
+        "villages where the bakers opened their doors before sunrise",
+        "valleys where the shepherds watched the flocks in the evening",
+        "islands where the fishers mended their nets beside the water",
+        "meadows where the children flew their kites on windy days",
+    ]
+    rows = []
+    for i in range(12):
+        body = (f"this is a long enough english article number {i} about "
+                f"the {topics[i]} with plenty of stopwords for the filters")
+        rows.append((f"http://site{i % 3}.com/p{i}", body))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([u for u, _ in rows], pa.string()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+    }))
+    res = curate_corpus(
+        ds, min_quality=0.1, pack=False,
+        max_per_domain=2, url_col="doc_id",
+    )
+    out = res.docs.to_pandas()
+    assert res.stats["after_domain_cap"] == 6  # 3 domains × cap 2
+    assert len(out) == 6
