@@ -388,6 +388,41 @@ def cpu_probe(workers: int, per: int = 6_000_000, reps: int = 2) -> float:
     return round(best, 1)
 
 
+def _memcpy(args) -> float:
+    import numpy as np
+
+    dur, size = args
+    # arange, not zeros: an all-zeros source is backed by the shared
+    # copy-on-write zero page and reads artificially fast
+    buf = np.arange(size, dtype=np.uint64).view(np.uint8)[:size].copy()
+    dst = np.empty_like(buf)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < dur:
+        np.copyto(dst, buf)
+        n += 1
+    return n * size / (time.perf_counter() - t0)
+
+
+def bw_probe(workers: int, dur: float = 4.0, reps: int = 2) -> float:
+    """Aggregate memory-COPY bandwidth at `workers` parallel processes
+    (GiB/s) — the second host ceiling a plasma-heavy pipeline contends
+    on.  The pure-CPU probe scales near-linearly on this VM (0.78-0.92
+    for 8→32), but the memory subsystem does NOT: measured ~38 GiB/s at
+    8 workers vs ~48 GiB/s at 32 (a 0.3 bandwidth ceiling) — once
+    per-doc CPU is optimized down, a single-box 8→32 run measures THIS
+    wall, which a real 4× NODE cluster does not have (each node brings
+    its own memory subsystem)."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(reps):
+        with mp.Pool(workers) as p:
+            total = sum(p.map(_memcpy, [(dur, 64 << 20)] * workers))
+        best = max(best, total / (1 << 30))
+    return round(best, 1)
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Scaling needs enough WORK to amortize the pipeline's fixed
     latency (shuffle barriers + actor-pool spin-up, ~3-10 s): 1.2M pages
@@ -430,6 +465,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     r_hi = min(runs_hi, key=lambda r: r["queries"]["kg_flagship"])
     probe_lo, probe_hi = cpu_probe(lo), cpu_probe(hi)
     ceiling = (probe_hi / probe_lo) / (hi / lo)
+    bw_lo, bw_hi = bw_probe(lo), bw_probe(hi)
+    bw_ceiling = (bw_hi / bw_lo) / (hi / lo)
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
@@ -451,6 +488,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "cpu_probe_mops_hi": probe_hi,
         "host_ceiling_efficiency": round(ceiling, 3),
         "ceiling_normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
+        # SECOND host ceiling: aggregate memcpy bandwidth — the shared
+        # resource a plasma-heavy pipeline saturates on one box; a real
+        # N→4N NODE cluster scales it with node count
+        "mem_bw_gibs_lo": bw_lo,
+        "mem_bw_gibs_hi": bw_hi,
+        "bw_ceiling_efficiency": round(bw_ceiling, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
         "n_pages": r_lo["n_pages"],
