@@ -219,12 +219,14 @@ def score_perplexity(
 
     ref = ray.put((lm.keys, lm.counts, lm.total, lm.n, lm.alpha, lm.salt))
 
+    from .textops import _replace_column
+
     def f(t: pa.Table) -> pa.Table:
         keys, counts, total, n, alpha, salt = ray.get(ref)
         m = NgramLM(keys, counts, total, n, alpha, salt)
         th, doc_idx, lens = _token_stream(t[text_col].to_pylist(), salt)
         ppl = _score_stream(th, doc_idx, lens, m)
-        return t.append_column(out_col, pa.array(ppl, pa.float64()))
+        return _replace_column(t, out_col, pa.array(ppl, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -321,10 +323,12 @@ def perplexity_buckets(
 
     scored = score_perplexity(ds, lm, text_col)
 
+    from .textops import _replace_column
+
     def tag(t: pa.Table) -> pa.Table:
         p = t["lm_ppl"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(edges, np.nan_to_num(p, nan=np.inf), side="right")
-        return t.append_column(out_col, pa.array(lab_arr[idx], pa.string()))
+        return _replace_column(t, out_col, pa.array(lab_arr[idx], pa.string()))
 
     return scored.map_batches(tag, batch_format="pyarrow")
 

@@ -72,12 +72,26 @@ def pii_counts(ds, text_col: str = "text", kinds=("email", "ip", "phone")):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _canonical_kinds(kinds) -> tuple[str, ...]:
+    """Validate and reorder ``kinds`` into the declared-safe order
+    (emails before ips before phones — see module docstring): a caller
+    passing ('phone', 'ip', 'email') must not get the phone pattern
+    chewing dotted IPs and email digit runs first, which would diverge
+    from ``pii_counts``' accounting."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown pii kinds: {sorted(unknown)}")
+    return tuple(k for k in PII_PATTERNS if k in set(kinds))
+
+
 def redact_batch(
     t: pa.Table, text_col: str = "text", kinds=("email", "ip", "phone")
 ) -> pa.Table:
-    """Pure per-batch redaction (shared by the Ray stage and tests)."""
+    """Pure per-batch redaction (shared by the Ray stage and tests).
+    Kinds are canonicalized and validated here too, so a direct caller
+    gets the same order-independent semantics as ``redact_pii``."""
     col = pc.cast(t[text_col], pa.string())
-    for k in kinds:
+    for k in _canonical_kinds(kinds):
         pat, repl = PII_PATTERNS[k]
         col = pc.replace_substring_regex(col, pat, repl)
     idx = t.column_names.index(text_col)
@@ -88,10 +102,7 @@ def redact_pii(ds, text_col: str = "text", kinds=("email", "ip", "phone")):
     """Rewrite the text column with placeholder tokens; schema
     unchanged.  Kinds apply in the declared order (see module
     docstring) regardless of the order given."""
-    ordered = tuple(k for k in PII_PATTERNS if k in set(kinds))
-    unknown = set(kinds) - set(PII_PATTERNS)
-    if unknown:
-        raise ValueError(f"unknown pii kinds: {sorted(unknown)}")
+    ordered = _canonical_kinds(kinds)
     return ds.map_batches(
         lambda t: redact_batch(t, text_col, ordered), batch_format="pyarrow"
     )

@@ -148,12 +148,13 @@ def score_quality(
     default 0.5 threshold — their fate would then flip with
     training-set noise.  No evidence → not seed-like, deterministically."""
     w, b, dim, salt = model.w, model.b, model.dim, model.salt
+    from .textops import _replace_column
 
     def f(t: pa.Table) -> pa.Table:
         X = _featurize(t[text_col].to_pylist(), dim, salt)
         p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
         p[np.abs(X).sum(axis=1) == 0] = 0.0
-        return t.append_column(out_col, pa.array(p.astype(np.float64)))
+        return _replace_column(t, out_col, pa.array(p.astype(np.float64)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

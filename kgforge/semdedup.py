@@ -48,8 +48,23 @@ def _clustered(ds, n_clusters, *, vec_col, id_col, seed):
     with its ``cluster`` id — no similarity column, which the dedup
     paths would only throw away."""
     ds = ds.materialize()
+    n_rows = ds.count()
+    if n_rows == 0:
+        # empty survivor set (upstream filters can legitimately drop
+        # everything): there is nothing to train on — short-circuit
+        # with an empty clustered view instead of letting
+        # train_centroids raise, so every consumer (dedup drops,
+        # cluster_assign, cluster_sample, curation stage 4b) degrades
+        # to an empty result like the rest of the pipeline stages
+        empty = ds.map_batches(
+            lambda t: t.append_column(
+                "cluster", pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        return empty, np.zeros((1, 1), dtype=np.float32)
     if n_clusters is None:
-        n_clusters = max(4, int(round(ds.count() / 1024)))
+        n_clusters = max(4, int(round(n_rows / 1024)))
     cent = train_centroids(
         ds, n_centroids=n_clusters, sample_mod=None,
         seed=seed, vec_col=vec_col, id_col=id_col,
@@ -79,6 +94,8 @@ def cluster_assign(
     )
 
     def sim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("centroid_sim", pa.nulls(0, pa.float64()))
         mat = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
         cell = t["cluster"].to_numpy(zero_copy_only=False)
         s = np.einsum("ij,ij->i", mat, cent[cell]).astype(np.float64)

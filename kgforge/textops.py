@@ -299,6 +299,10 @@ def chunk_documents(
         raise ValueError("chunk_tokens must be positive")
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    if not 1 <= min_chunk_tokens <= chunk_tokens:
+        # > chunk_tokens would silently truncate every multi-chunk doc
+        # to its first window (all later windows fail the min check)
+        raise ValueError("min_chunk_tokens must be in [1, chunk_tokens]")
     step = chunk_tokens - overlap_tokens
     out_text = out_text_col or text_col
 

@@ -912,3 +912,18 @@ def test_curate_corpus_url_col_equals_id_col(ray_session):
     out = res.docs.to_pandas()
     assert res.stats["after_domain_cap"] == 6  # 3 domains × cap 2
     assert len(out) == 6
+
+
+def test_curate_corpus_semdedup_survives_empty_survivor_set(ray_session):
+    """If the heuristic filters drop EVERYTHING, the SemDeDup stage must
+    skip gracefully (train_centroids has nothing to train on) like every
+    other stage does on empty inputs."""
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(4)
+    res = curate_corpus(
+        ds, min_quality=2.0, pack=False,
+        semdedup_threshold=0.9, substring_dedup_ngram=20,
+    )
+    assert res.stats["after_lang_quality"] == 0
+    assert res.stats["semdedup_dropped"] == 0
+    assert res.docs.count() == 0

@@ -218,3 +218,16 @@ def test_save_load_round_trip(ray_session, tmp_path):
     s1 = score_perplexity(rd.from_pandas(df), lm).to_pandas()["lm_ppl"][0]
     s2 = score_perplexity(rd.from_pandas(df), lm2).to_pandas()["lm_ppl"][0]
     assert s1 == s2
+
+
+def test_rescoring_replaces_column_not_duplicates(ray_session):
+    """score_perplexity over an already-scored dataset must replace
+    lm_ppl (the _replace_column convention), not create an ambiguous
+    duplicate field."""
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "dog ran far"]})
+    lm = train_ngram_lm(rd.from_pandas(df), n=2)
+    once = score_perplexity(rd.from_pandas(df), lm)
+    twice = score_perplexity(once, lm).to_pandas()
+    assert list(twice.columns).count("lm_ppl") == 1
+    base = once.to_pandas()
+    assert twice["lm_ppl"].tolist() == base["lm_ppl"].tolist()

@@ -118,3 +118,20 @@ def test_pii_in_curation_pipeline(ray_session):
     res2 = curate_corpus(ds, min_quality=0.1, pack=False)
     assert res2.stats["after_exact_dedup"] == 3
     assert res2.stats["neardup_dropped"] == 1
+
+
+def test_redact_batch_canonicalizes_caller_order():
+    """Direct redact_batch callers get the declared-safe kind order no
+    matter how they spell kinds — ('phone','ip','email') must not let
+    the phone pattern chew dotted IPs / email digit runs first."""
+    import pyarrow as pa
+
+    from kgforge.pii import redact_batch
+
+    t = pa.table({"text": ["mail 5551234567@example.com ip 10.0.0.1 tel 5551234567"]})
+    want = redact_batch(t)["text"].to_pylist()
+    got = redact_batch(t, kinds=("phone", "ip", "email"))["text"].to_pylist()
+    assert got == want
+    assert "<EMAIL>" in got[0] and "<IP>" in got[0] and "<PHONE>" in got[0]
+    with pytest.raises(ValueError, match="unknown pii kinds"):
+        redact_batch(t, kinds=("email", "ssn"))

@@ -104,3 +104,14 @@ def test_save_load_round_trip(tmp_path):
     assert isinstance(m2, QualityModel)
     assert np.array_equal(m.w, m2.w)
     assert (m.b, m.dim, m.salt) == (m2.b, m2.dim, m2.salt)
+
+
+def test_rescoring_replaces_column_not_duplicates(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "dog ran far"]})
+    seed = pd.DataFrame({"text": ["the cat sat on the mat today"]})
+    model = train_quality_classifier(
+        rd.from_pandas(seed), rd.from_pandas(df), dim=64, iters=5
+    )
+    once = score_quality(rd.from_pandas(df), model)
+    twice = score_quality(once, model).to_pandas()
+    assert list(twice.columns).count("clf_quality") == 1

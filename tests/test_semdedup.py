@@ -155,3 +155,19 @@ def test_cluster_assign_columns(ray_session):
     topic = out["vec_id"] < len(df) // 2
     dominant = out[topic]["cluster"].mode()[0]
     assert (out[topic]["cluster"] == dominant).mean() > 0.9
+
+
+def test_semantic_dedup_empty_input(ray_session):
+    """Upstream filters can empty the corpus; the clustered dedup must
+    degrade to an empty result instead of train_centroids raising."""
+    df = _corpus(proto_noise=3.0)
+    ds = rd.from_pandas(df).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    assert semantic_dedup_drops(ds, threshold=0.9).count() == 0
+    assert semantic_dedup(ds, threshold=0.9).count() == 0
+    assigned = cluster_assign(ds)
+    assert assigned.count() == 0
+    schema = assigned.schema()
+    if schema is not None:  # Ray may report no schema for all-empty datasets
+        assert {"cluster", "centroid_sim"} <= set(schema.names)

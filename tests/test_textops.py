@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
+import pytest
 
 from kgforge.textops import (
     fingerprint_text,
@@ -155,3 +156,15 @@ def test_chunk_documents_no_overlap_conserves_tokens(ray_session):
     docs2 = docs.assign(doc_id=[f"d{i}" for i in range(8)])
     out = chunk_documents(rd.from_pandas(docs2), chunk_tokens=16).to_pandas()
     assert out["doc_id"].map(type).eq(str).all()
+
+
+def test_chunk_documents_rejects_bad_min_chunk_tokens(ray_session):
+    import ray.data as rd
+
+    from kgforge.textops import chunk_documents
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c d e f"}])
+    with pytest.raises(ValueError, match="min_chunk_tokens"):
+        chunk_documents(ds, chunk_tokens=4, min_chunk_tokens=5)
+    with pytest.raises(ValueError, match="min_chunk_tokens"):
+        chunk_documents(ds, chunk_tokens=4, min_chunk_tokens=0)
