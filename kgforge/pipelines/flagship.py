@@ -37,17 +37,24 @@ class FlagshipResult:
     canonical_map: dict[str, str]
 
 
-def build_docs(pages_ds, langs=("en",)):
+def build_docs(pages_ds, langs=("en",), bands: bool = True):
     """pages → extracted docs (B7 → B2 → B1 → G2).
 
     Extraction runs BEFORE exact dedup so the wide html column never
     crosses a shuffle (G2 only aggregates a thin key projection; the ~2%
     superseded re-crawls cost one redundant extraction each). The result
     is materialized: exact_dedup and every downstream consumer read the
-    extracted docs more than once."""
+    extracted docs more than once.
+
+    ``bands=True`` (default — round-5 top ask) emits the minhash-LSH
+    ``band_h`` keys in the SAME extraction kernel, so the near-dup
+    engine's bands table is a zero-copy projection of pass 1 instead of
+    a second full-corpus text read — one fewer corpus-wide pass on the
+    memory-bandwidth-bound leg.  ``run_flagship`` drops the column from
+    its result surfaces after the drop set is computed."""
     ds = pages_ds.map_batches(add_url_norm, batch_format="pyarrow")
     ds = lang_filter(ds, langs)
-    docs = extract_docs(ds).materialize()
+    docs = extract_docs(ds, bands=bands).materialize()
     return exact_dedup(docs)
 
 
@@ -58,13 +65,17 @@ def run_flagship(
     link_concurrency=(2, 8),
 ) -> FlagshipResult:
     res = resource or AliasResource.from_ontology(get_ontology(seed))
-    docs = build_docs(pages_ds).materialize()  # branch point (see module docstring)
+    # branch point (see module docstring); carries the fused band_h keys
+    docs_b = build_docs(pages_ds).materialize()
     # drop side stays a Dataset end to end: below the corpus threshold
     # it is the (tiny) driver-plan result wrapped in one block, above it
     # the fully distributed labels — apply_drop_ds picks broadcast vs
     # bloom+anti-join by drop count (VERDICT r2 item 1)
-    drop_ds = neardup_drop_ds(docs)
-    kept = apply_drop_ds(docs, drop_ds)
+    drop_ds = neardup_drop_ds(docs_b)
+    # band_h served its purpose (the LSH bands table was its projection);
+    # the result surfaces and the linker see the pre-fusion doc schema
+    docs = docs_b.drop_columns(["band_h"])
+    kept = apply_drop_ds(docs_b, drop_ds).drop_columns(["band_h"])
     # corpus prior pass (unambiguous mention counts) → broadcast with the
     # gazetteer; breaks cosine ties toward the corpus-popular entity
     res = res.with_prior(entity_prior(kept, res))

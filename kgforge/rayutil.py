@@ -106,6 +106,92 @@ def join_partitions(n_rows: int | None = None, floor: int = 8) -> int:
     return max(floor, min(cpus, 64))
 
 
+def fsl_pack_specs(schema: pa.Schema | None) -> list[tuple[str, pa.DataType, int]]:
+    """(name, value_type, list_size) for every fixed-size-list column of
+    primitive values — the columns acero hash joins REJECT as non-key
+    payload ("Data type fixed_size_list<...> is not supported in join
+    non-key field").  Paired with ``fsl_pack``/``fsl_unpack`` so such
+    columns (minhash band keys, embeddings) ride through a join as
+    fixed_size_binary, which acero accepts.  Accepts a pyarrow Schema or
+    Ray's Schema wrapper (whose ``base_schema`` is the Arrow one)."""
+    if schema is not None and not isinstance(schema, pa.Schema):
+        schema = getattr(schema, "base_schema", None)
+    if not isinstance(schema, pa.Schema):
+        return []
+    return [
+        (f.name, f.type.value_type, f.type.list_size)
+        for f in schema
+        if pa.types.is_fixed_size_list(f.type)
+        and pa.types.is_primitive(f.type.value_type)
+        # bool children are bit-packed — the byte-width math below
+        # doesn't apply (and no such column exists in this repo)
+        and f.type.value_type.bit_width >= 8
+    ]
+
+
+def fsl_pack(t: pa.Table, specs) -> pa.Table:
+    """fixed_size_list<v, k> columns → fixed_size_binary(k·itemsize),
+    zero-copy over the child values buffer (null rows keep their
+    validity; their value slots exist by FixedSizeList construction)."""
+    import numpy as np
+
+    for name, vtype, width in specs:
+        if name not in t.column_names:
+            continue
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nbytes = width * vtype.bit_width // 8
+        flat = (
+            col.values.slice(col.offset * width, len(col) * width)
+            .to_numpy(zero_copy_only=False)
+        )
+        bufs = [None, pa.py_buffer(flat.tobytes())]
+        if col.null_count:
+            # bool array data buffer IS a packed validity bitmap
+            bufs[0] = pa.array(
+                col.is_valid().to_numpy(zero_copy_only=False)
+            ).buffers()[1]
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nbytes), len(col), bufs, null_count=col.null_count
+        )
+        t = t.set_column(t.column_names.index(name), name, packed)
+    return t
+
+
+def fsl_unpack(t: pa.Table, specs) -> pa.Table:
+    """Inverse of ``fsl_pack``: fixed_size_binary blobs back to their
+    fixed_size_list<v, k> columns (same name, same position)."""
+    import numpy as np
+
+    for name, vtype, width in specs:
+        if name not in t.column_names:
+            continue
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dtype = np.dtype(vtype.to_pandas_dtype())
+        buf = col.buffers()[1]
+        flat = np.frombuffer(buf, dtype=dtype)[
+            col.offset * width : (col.offset + len(col)) * width
+        ]
+        values = pa.array(flat, vtype)
+        fsl_type = pa.list_(vtype, width)
+        bufs = [None]
+        if col.null_count:
+            bufs[0] = pa.array(
+                col.is_valid().to_numpy(zero_copy_only=False)
+            ).buffers()[1]
+            unpacked = pa.Array.from_buffers(
+                fsl_type, len(col), bufs, null_count=col.null_count,
+                children=[values],
+            )
+        else:
+            unpacked = pa.FixedSizeListArray.from_arrays(values, width)
+        t = t.set_column(t.column_names.index(name), name, unpacked)
+    return t
+
+
 def sever_plan(ds):
     """Rebuild a (materialized) Dataset from its raw Arrow block refs,
     discarding the logical plan.

@@ -114,7 +114,21 @@ def minhash_sig_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text
 
 
 def minhash_band_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_text"):
-    """Slim (url_norm, band_h[16]) side dataset (see minhash_sig_ds)."""
+    """Slim (url_norm, band_h[16]) side dataset (see minhash_sig_ds).
+
+    When the docs already CARRY a ``band_h`` column (the fused
+    extraction pass — ``extract_docs(..., bands=True)`` emits band keys
+    as a by-product of pass 1), this is a zero-copy projection: no
+    second read of the corpus text, no minhash recompute.  The fused
+    values are bit-identical to the recompute (deterministic seeds), so
+    both forms feed the same collision scan."""
+    schema = ds.schema()
+    if schema is not None and "band_h" in schema.names:
+        cols = [id_col, "band_h"]
+        proj = ds.select_columns(cols)
+        if id_col != "url_norm":
+            proj = proj.rename_columns({id_col: "url_norm"})
+        return proj.materialize()
     return minhash_sig_ds(ds, id_col, text_col, include_sig=False)
 
 
@@ -708,13 +722,21 @@ def apply_drop_ds(
     clean = docs_ds.map_batches(
         lambda t: t.filter(pa.array(~_mask(t))), batch_format="pyarrow"
     )
+    # acero joins reject fixed_size_list payload columns (band keys,
+    # embeddings): pack them to fixed_size_binary for the join side and
+    # unpack on the survivors so `clean` and `survivors` union with the
+    # same schema
+    from ..rayutil import fsl_pack, fsl_pack_specs, fsl_unpack
+
+    fsl_specs = fsl_pack_specs(docs_ds.schema())
     # drop_empty_blocks: a 0-row doc block skips every upstream
     # map_batches, so it can reach the join below with a schema that
     # predates a caller-appended key column (curation's __nd_key) —
     # the acero "No match for key field reference" landmine
     maybe = drop_empty_blocks(
         docs_ds.map_batches(
-            lambda t: t.filter(pa.array(_mask(t))), batch_format="pyarrow"
+            lambda t: fsl_pack(t.filter(pa.array(_mask(t))), fsl_specs),
+            batch_format="pyarrow",
         )
     )
     # drop_empty_blocks: 0-row drop blocks skip the marker map and reach
@@ -739,7 +761,9 @@ def apply_drop_ds(
         right_suffix="_r",
     )
     survivors = drop_empty_blocks(j).map_batches(
-        lambda t: t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"]),
+        lambda t: fsl_unpack(
+            t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"]), fsl_specs
+        ),
         batch_format="pyarrow",
     )
     return clean.union(survivors)

@@ -347,10 +347,20 @@ def lang_filter(ds, langs: tuple[str, ...] = ("en",)):
     )
 
 
-def extract_docs_batch(batch: pa.Table) -> pa.Table:
+def extract_docs_batch(batch: pa.Table, bands: bool = False) -> pa.Table:
     """B1: html → extracted_text (+sha256, n_chars); DROPS the wide html
     column immediately (SURVEY §7.5) and rows with empty extraction.
-    html-less rows fall back to the normalized raw ``text`` column."""
+    html-less rows fall back to the normalized raw ``text`` column.
+
+    ``bands=True`` additionally emits the minhash-LSH ``band_h[16]``
+    column in the SAME kernel (the near-dup engine's collision keys) —
+    the fused form cuts a full-corpus text pass out of the flagship:
+    the bands side table becomes a zero-copy projection of the
+    materialized docs instead of a second read of every extracted_text
+    byte.  Values are bit-identical to ``dedup_core.batch_minhash_bands``
+    recomputed later (deterministic seeds), so plan equivalence holds;
+    the ~2% exact-dedup losers hash once redundantly, which is the
+    cheaper side of re-reading the corpus."""
     raw = batch["text"].to_pylist() if "text" in batch.column_names else [None] * batch.num_rows
     texts = [
         extract_page_text(h, ft) for h, ft in zip(batch["html"].to_pylist(), raw)
@@ -363,10 +373,27 @@ def extract_docs_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column(
         "n_chars", pa.array([len(t) for t in texts], pa.int64())
     )
-    return out.filter(pc.greater(pc.utf8_length(out["extracted_text"]), 0))
+    out = out.filter(pc.greater(pc.utf8_length(out["extracted_text"]), 0))
+    if bands:
+        from ..dedup_core import LSH_BANDS, batch_minhash_bands
+
+        _, bhs = batch_minhash_bands(out["extracted_text"].to_pylist())
+        out = out.append_column(
+            "band_h",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(bhs.reshape(-1), pa.int64()), LSH_BANDS
+            ),
+        )
+    return out
 
 
-def extract_docs(ds, batch_size: int = 256):
+def extract_docs(ds, batch_size: int = 256, bands: bool = False):
     """Stateless task stage; modest batch_size because the html column is
-    wide (binary payloads) — blocks stay under the object-store target."""
-    return ds.map_batches(extract_docs_batch, batch_format="pyarrow", batch_size=batch_size)
+    wide (binary payloads) — blocks stay under the object-store target.
+    ``bands=True`` fuses the minhash band keys into this pass (see
+    ``extract_docs_batch``)."""
+    return ds.map_batches(
+        lambda t: extract_docs_batch(t, bands=bands),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -169,3 +169,81 @@ def test_join_partitions_env_override_guards_nonpositive(monkeypatch):
     assert join_partitions(10) >= 1
     monkeypatch.setenv("KGFORGE_JOIN_PARTITIONS", "12")
     assert join_partitions(10) == 12
+
+
+def test_fused_band_column_matches_recompute(ray_session):
+    """extract_docs(bands=True)'s band_h (the fused pass-1 by-product)
+    must be bit-identical to minhash_band_ds' recompute from text, and
+    neardup_drop_ds must consume the projection with identical results."""
+    import pyarrow as pa
+
+    from kgforge.steps.dedup import minhash_band_ds, neardup_drop_set
+
+    pages = rd.from_arrow(pages_table(400)).repartition(4)
+    pages = pages.map_batches(add_url_norm, batch_format="pyarrow")
+    fused = exact_dedup(extract_docs(pages, bands=True).materialize())
+    plain = exact_dedup(extract_docs(pages).materialize())
+
+    def bands_df(ds):
+        df = ds.to_pandas()
+        df["band_h"] = df["band_h"].map(tuple)
+        return df.sort_values("url_norm", ignore_index=True)
+
+    got = bands_df(minhash_band_ds(fused))  # projection path
+    want = bands_df(minhash_band_ds(plain))  # recompute path
+    pd.testing.assert_frame_equal(got, want)
+    for path in ("driver", "distributed"):
+        assert neardup_drop_set(fused, force_path=path) == neardup_drop_set(
+            plain, force_path=path
+        )
+
+
+def test_fsl_pack_unpack_round_trip():
+    """fixed_size_list columns ride through acero joins as
+    fixed_size_binary; the pack/unpack pair must round-trip exactly,
+    including nulls and sliced (offset) arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgforge.rayutil import fsl_pack, fsl_pack_specs, fsl_unpack
+
+    n, w = 7, 4
+    flat = np.arange(n * w, dtype=np.int64)
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.int64()), w)
+    emb = pa.array(
+        [[float(i)] * 3 if i != 2 else None for i in range(n)],
+        pa.list_(pa.float32(), 3),
+    )
+    t = pa.table({"k": pa.array(range(n)), "band_h": fsl, "emb": emb})
+    specs = fsl_pack_specs(t.schema)
+    assert [s[0] for s in specs] == ["band_h", "emb"]
+    packed = fsl_pack(t, specs)
+    assert packed["band_h"].type == pa.binary(w * 8)
+    # the packed table must be acero-joinable (the whole point)
+    right = pa.table({"k": pa.array([1, 5]), "m": pa.array([1, 1], pa.int8())})
+    packed.join(right, keys="k", join_type="left outer")
+    out = fsl_unpack(packed, specs)
+    assert out.schema == t.schema
+    assert out.equals(t)
+    # sliced input (non-zero offset buffers)
+    sl = t.slice(2, 4)
+    out2 = fsl_unpack(fsl_pack(sl, specs), specs)
+    assert out2.equals(sl)
+
+
+def test_apply_drop_ds_distributed_fixed_size_list_payload(ray_session):
+    """The distributed anti-join must carry fixed_size_list payload
+    columns (band keys, embeddings) through the acero join unchanged."""
+    import pyarrow as pa
+
+    from kgforge.steps.dedup import apply_drop_ds
+
+    n = 30
+    emb = pa.array([[float(i), -float(i)] for i in range(n)], pa.list_(pa.float64(), 2))
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "embedding": emb})
+    ds = rd.from_arrow(t).repartition(4)
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array([3, 7, 8], pa.int64())}))
+    out = apply_drop_ds(ds, drop, key_col="doc_id", strategy="distributed").to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(n) if i not in (3, 7, 8)]
+    by_id = {r.doc_id: list(r.embedding) for r in out.itertuples()}
+    assert by_id[5] == [5.0, -5.0] and by_id[29] == [29.0, -29.0]
