@@ -204,6 +204,17 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         extras["window_1m_parts_hashed_sec"] = round(w_sec, 3)
         extras["window_1m_parts_rows_per_sec"] = round(nw / w_sec, 1)
 
+        # sessionization over the same 1M-key table (r5: converted off
+        # per-user map_groups onto the hashed multi-group kernel; the
+        # verdict bar is within ~2x of the window kernel's wall)
+        from kgforge.analytic import sessionize
+
+        t0 = time.perf_counter()
+        sessionize(wds, "k", "o", 500_000).materialize()
+        s_sec = time.perf_counter() - t0
+        extras["sessionize_1m_users_sec"] = round(s_sec, 3)
+        extras["sessionize_1m_users_rows_per_sec"] = round(nw / s_sec, 1)
+
         from kgforge.ann import ivf_build, ivf_recall_report, ivf_search_index
         from kgforge.relational import read
 

@@ -389,38 +389,12 @@ def window(
         limit = int(os.environ.get("KGFORGE_WINDOW_HASHED_ROWS", WINDOW_HASHED_ROWS))
         strategy = "hashed" if n_rows >= limit else "groups"
     if strategy == "hashed":
-        from kgforge.relops import sample_hash_u64
 
-        if num_partitions is None:
-            import os
+        def apply_specs(g: pd.DataFrame) -> pd.DataFrame:
+            return _apply_specs_grouped(g, part_keys, order_keys, asc, specs)
 
-            if n_rows is None:
-                ds = ds.materialize()
-                n_rows = ds.count()
-            target = int(os.environ.get("KGFORGE_WINDOW_BUCKET_ROWS", WINDOW_BUCKET_ROWS))
-            # ceil-divide so every bucket targets ≤ target rows; floor 64
-            # keeps small-but-forced-hashed inputs parallel
-            P = max(64, -(-n_rows // max(1, target)))
-        else:
-            P = int(num_partitions)
-
-        def add_part(t: pa.Table) -> pa.Table:
-            h = np.zeros(t.num_rows, dtype=np.uint64)
-            for i, k in enumerate(part_keys):
-                h ^= sample_hash_u64(t[k], 1000 + i)
-            return t.append_column(
-                "__wpart", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
-            )
-
-        def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return _apply_specs_grouped(
-                g.drop(columns="__wpart"), part_keys, order_keys, asc, specs
-            )
-
-        return (
-            ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__wpart")
-            .map_groups(apply_bucket, batch_format="pandas")
+        return hash_bucketed_groups(
+            ds, part_keys, apply_specs, num_partitions=num_partitions, n_rows=n_rows
         )
     if strategy != "groups":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -430,6 +404,126 @@ def window(
         return _apply_specs(g, order_keys, asc, specs)
 
     return ds.groupby(key).map_groups(apply, batch_format="pandas")
+
+
+def hash_bucketed_groups(
+    ds: Dataset,
+    part_keys: Sequence[str],
+    frame_fn,
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> Dataset:
+    """The shared hashed multi-group machinery: hash the partition keys
+    into worker-sized coarse buckets and run ``frame_fn`` (a whole-frame
+    pandas kernel) ONCE per bucket.  Every partition key lands entirely
+    in one bucket, so any per-partition computation (window functions,
+    sessionization, per-group aggregation) is exact — and Ray's ~7 µs
+    per-``map_groups``-group overhead is paid on ~rows/250k buckets,
+    never on millions of partition keys (the landmine this repo has now
+    measured three times: LSH band counting 446 s → 4.8 s, window
+    ``strategy='hashed'`` 196×, r5 sessionize/as-of conversion).
+
+    ``num_partitions=None`` sizes buckets at KGFORGE_WINDOW_BUCKET_ROWS
+    rows each (floor 64) so one bucket's pandas frame stays worker-sized
+    at any input scale."""
+    import os
+
+    from kgforge.relops import sample_hash_u64
+
+    part_keys = list(part_keys)
+    if num_partitions is None:
+        if n_rows is None:
+            # materialize before counting: the chosen plan re-reads the
+            # input, and a lazy lineage would re-execute per consumer
+            ds = ds.materialize()
+            n_rows = ds.count()
+        target = int(os.environ.get("KGFORGE_WINDOW_BUCKET_ROWS", WINDOW_BUCKET_ROWS))
+        # ceil-divide so every bucket targets ≤ target rows; floor 64
+        # keeps small-but-forced-hashed inputs parallel
+        P = max(64, -(-n_rows // max(1, target)))
+    else:
+        P = int(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, k in enumerate(part_keys):
+            h ^= sample_hash_u64(t[k], 1000 + i)
+        return t.append_column(
+            "__wpart", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
+        )
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return frame_fn(g.drop(columns="__wpart"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__wpart")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (SURVEY §2.I3)
+# ---------------------------------------------------------------------------
+
+
+def _sessionize_frame(
+    df: pd.DataFrame,
+    part_keys: list[str],
+    ts_col: str,
+    gap,
+    out_col: str,
+) -> pd.DataFrame:
+    """Vectorized multi-group sessionization kernel (the
+    ``_apply_specs_grouped`` pattern): ONE stable sort over (partition
+    keys, ts), then per-partition 1-based session ids via boundary
+    arithmetic — no per-group Python call.  A new session starts at each
+    partition boundary and wherever the gap from the previous row
+    exceeds ``gap``."""
+    df = df.sort_values(part_keys + [ts_col], kind="stable").reset_index(drop=True)
+    n = len(df)
+    if n == 0:
+        df[out_col] = pd.Series(dtype="int64")
+        return df
+    new_grp = _bound_mask(df, part_keys)
+    # diff > gap is False at NaN/NaT (a null ts never OPENS a session —
+    # it joins its predecessor's, matching SQL where NULL - ts is NULL)
+    new_sess = new_grp | (df[ts_col].diff() > gap).to_numpy()
+    sid = np.cumsum(new_sess)
+    starts_idx = np.nonzero(new_grp)[0]
+    gid = np.cumsum(new_grp) - 1
+    grp_start = starts_idx[gid]
+    df[out_col] = (sid - sid[grp_start] + 1).astype(np.int64)
+    return df
+
+
+def sessionize(
+    ds: Dataset,
+    partition_by: str | Sequence[str],
+    ts_col: str,
+    gap,
+    *,
+    out_col: str = "session_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Gap-and-island sessionization (SURVEY §2.I3): within each
+    partition, ordered by ``ts_col``, a new session starts where the gap
+    from the previous row exceeds ``gap`` (a ``pd.Timedelta`` for
+    timestamp axes, a number for numeric ones); ids are 1-based per
+    partition.  Equivalent SQL: ``1 + sum(new_sess) OVER (PARTITION BY
+    keys ORDER BY ts)`` with ``new_sess = (ts - lag(ts) > gap)``.
+
+    Always the hashed multi-group plan (``hash_bucketed_groups``): a
+    ``groupby(user).map_groups`` plan pays Ray's ~7 µs per GROUP, which
+    at web-scale user counts is pure per-group overhead — here the cost
+    is one hash shuffle plus a vectorized kernel per ~250k-row bucket."""
+    part_keys = _as_list(partition_by)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _sessionize_frame(g, part_keys, ts_col, gap, out_col)
+
+    return hash_bucketed_groups(ds, part_keys, bucket, num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ class FlagshipResult:
     canonical_map: dict[str, str]
 
 
-def build_docs(pages_ds, langs=("en",), bands: bool = True):
+def build_docs(pages_ds, langs=("en",), bands: bool | None = None):
     """pages → extracted docs (B7 → B2 → B1 → G2).
 
     Extraction runs BEFORE exact dedup so the wide html column never
@@ -51,7 +51,15 @@ def build_docs(pages_ds, langs=("en",), bands: bool = True):
     engine's bands table is a zero-copy projection of pass 1 instead of
     a second full-corpus text read — one fewer corpus-wide pass on the
     memory-bandwidth-bound leg.  ``run_flagship`` drops the column from
-    its result surfaces after the drop set is computed."""
+    its result surfaces after the drop set is computed.
+
+    ``bands=None`` reads KGFORGE_FUSED_BANDS (default on; ``0`` restores
+    the separate band pass) — the same-session A/B lever for the
+    scaling campaign."""
+    import os
+
+    if bands is None:
+        bands = os.environ.get("KGFORGE_FUSED_BANDS", "1") != "0"
     ds = pages_ds.map_batches(add_url_norm, batch_format="pyarrow")
     ds = lang_filter(ds, langs)
     docs = extract_docs(ds, bands=bands).materialize()
@@ -74,8 +82,12 @@ def run_flagship(
     drop_ds = neardup_drop_ds(docs_b)
     # band_h served its purpose (the LSH bands table was its projection);
     # the result surfaces and the linker see the pre-fusion doc schema
-    docs = docs_b.drop_columns(["band_h"])
-    kept = apply_drop_ds(docs_b, drop_ds).drop_columns(["band_h"])
+    schema = docs_b.schema()
+    fused = schema is not None and "band_h" in schema.names
+    docs = docs_b.drop_columns(["band_h"]) if fused else docs_b
+    kept = apply_drop_ds(docs_b, drop_ds)
+    if fused:
+        kept = kept.drop_columns(["band_h"])
     # corpus prior pass (unambiguous mention counts) → broadcast with the
     # gazetteer; breaks cosine ties toward the corpus-popular entity
     res = res.with_prior(entity_prior(kept, res))

@@ -976,26 +976,29 @@ def q_null_handling(sf_dir: str):
     """,
 )
 def q_events_sessions(sf_dir: str):
-    """Sessionization (gap > 30 min starts a new session) — the
-    streaming-shaped op expressed as groupby(user).map_groups over the
-    ts-sorted group (ray_guide pattern); oracle = gap-and-island SQL."""
-    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+    """Sessionization (gap > 30 min starts a new session) via the hashed
+    multi-group kernel (``analytic.hash_bucketed_groups`` +
+    ``_sessionize_frame``): one hash shuffle, one vectorized kernel per
+    ~250k-row bucket — never a per-USER Python call (the old
+    groupby(user).map_groups plan paid Ray's ~7 µs per user).  The
+    per-(user, session) aggregate runs INSIDE the same bucket (every
+    user's rows land in exactly one bucket, so session groups are
+    complete there) — no second shuffle and no per-session group
+    overhead either; oracle = gap-and-island SQL."""
+    from .analytic import _sessionize_frame, hash_bucketed_groups
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = new_sess.cumsum() + 1
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id")
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=30)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _sessionize_frame(g, ["user_id"], "ts", gap, "session_id")
+        return (
+            g.groupby(["user_id", "session_id"], sort=False)
             .agg(n_events=("ts", "size"), total_value=("value", "sum"))
             .reset_index()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
-    out["session_id"] = out["session_id"].astype("int64")
+    out = hash_bucketed_groups(ds, ["user_id"], bucket).to_pandas()
     return _round_cols(out, {"total_value": 2})
 
 
@@ -1177,21 +1180,39 @@ def q_events_sliding_2h(sf_dir: str):
     """,
 )
 def q_events_asof_last_signup(sf_dir: str):
-    """As-of / point-in-time join (SURVEY §2.D5): for every event, the most
-    recent signup ts of the same user at or before it — per-user sorted
-    merge_asof-style forward fill inside groupby(user).map_groups
-    (ray_guide as-of pattern); oracle = running-max window SQL."""
+    """As-of / point-in-time join (SURVEY §2.D5): for every event, the
+    most recent signup ts of the same user at or before it — expressed
+    on the hashed multi-group window kernel (``analytic.window``
+    strategy='hashed'): mask ts to signup rows, then a per-user running
+    ``cummax`` ordered by (ts, event_id).  One hash shuffle + a
+    vectorized kernel per bucket; the old groupby(user).map_groups plan
+    paid Ray's ~7 µs per user.  Oracle = running-max window SQL."""
+    from .analytic import window
+
     ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        signup_ts = g["ts"].where(g["event_type"] == "signup")
-        # ffill == running max here (ts-ascending order); cummax would
-        # leave NaT holes at non-signup rows
-        g = g.assign(last_signup_ts=signup_ts.ffill())
-        return g[["event_id", "user_id", "last_signup_ts"]]
+    def mark(t: pa.Table) -> pa.Table:
+        sig = pc.if_else(
+            pc.equal(t["event_type"], "signup"), t["ts"], pa.scalar(None, t["ts"].type)
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "signup_ts": sig,
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    marked = ds.map_batches(mark, batch_format="pyarrow")
+    out = window(
+        marked,
+        "user_id",
+        ["ts", "event_id"],
+        [{"out": "last_signup_ts", "fn": "cummax", "col": "signup_ts"}],
+        strategy="hashed",
+    )
+    return out.select_columns(["event_id", "user_id", "last_signup_ts"])
 
 
 # ---------------------------------------------------------------------------

@@ -783,3 +783,74 @@ def test_rollup_empty_input_dataset_output(ray_session):
             assert row["n"] == 0 and int(row["grouping_id"]) == 1
             for c in ("s", "m", "lo", "sd"):
                 assert pd.isna(row[c])
+
+
+def test_sessionize_vs_duckdb(ray_session):
+    """Gap-and-island oracle: sessionize's per-partition 1-based ids
+    must equal the SQL 1 + sum(new_sess) OVER (...) formulation, over a
+    numeric time axis with duplicate timestamps and many users."""
+    import ray.data as rd
+
+    from kgforge.analytic import sessionize
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user": rng.randint(0, 120, n),
+            "t": rng.randint(0, 10_000, n).astype("int64"),
+            "v": rng.randn(n),
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(df).repartition(8), "user", "t", 50)
+        .to_pandas()
+        .sort_values(["user", "t", "v"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute(
+        """
+        SELECT user, t, v,
+               CAST(sum(new_sess) OVER (PARTITION BY user ORDER BY t, v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (
+          SELECT user, t, v,
+                 CASE WHEN lag(t) OVER (PARTITION BY user ORDER BY t, v) IS NULL
+                        OR t - lag(t) OVER (PARTITION BY user ORDER BY t, v) > 50
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev)
+        ORDER BY user, t, v
+        """
+    ).df()
+    # duplicate (user, t) rows are order-ambiguous BETWEEN the engines,
+    # but session ids at a duplicate timestamp are identical either way
+    # (gap 0 never opens a session) — v in ORDER BY pins the SQL side
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+
+
+def test_sessionize_timestamps_and_null_ts(ray_session):
+    """Timestamp axis with a pd.Timedelta gap; a null ts joins its
+    predecessor's session (diff > gap is False at NaT)."""
+    import ray.data as rd
+
+    from kgforge.analytic import sessionize
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",
+         None, "2024-01-01 01:05"]
+    )
+    df = pd.DataFrame({"u": [1, 1, 1, 1, 1], "ts": ts})
+    out = (
+        sessionize(rd.from_pandas(df), "u", "ts", pd.Timedelta(minutes=30))
+        .to_pandas()
+        .sort_values("ts", na_position="last", ignore_index=True)
+    )
+    # 00:00, 00:10 = session 1; 01:00 opens 2; 01:05 stays 2; NaT sorts
+    # last and joins the previous row's session
+    by_ts = dict(zip(out["ts"], out["session_id"]))
+    assert by_ts[pd.Timestamp("2024-01-01 00:00")] == 1
+    assert by_ts[pd.Timestamp("2024-01-01 00:10")] == 1
+    assert by_ts[pd.Timestamp("2024-01-01 01:00")] == 2
+    assert by_ts[pd.Timestamp("2024-01-01 01:05")] == 2
+    assert out["session_id"].iloc[-1] == 2  # the NaT row
