@@ -240,9 +240,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet dir of the (h1,h2) corpus index so far")
     p.add_argument("--seq-len", type=int, default=1024)
     p.add_argument("--no-pack", action="store_true")
-    p.add_argument("--stats", default="counts", choices=("counts", "none"),
+    p.add_argument("--stats", default="auto", choices=("auto", "counts", "none"),
                    help="'counts' materializes per stage for audited row counts; "
-                        "'none' streams stage-to-stage (the 100-TB configuration)")
+                        "'none' streams stage-to-stage (the 100-TB configuration); "
+                        "'auto' (default) counts only metadata-countable inputs "
+                        "up to KGFORGE_CURATION_COUNTS_ROWS and streams otherwise")
     p.add_argument("--partitions", type=int, default=0,
                    help="checkpoint stage A (lang+quality filter) across this many "
                         "input-file partitions with a resume ledger (0 = off)")
@@ -331,14 +333,23 @@ def main(argv: list[str] | None = None) -> None:
             part_files += sorted(
                 os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             )
-        in_ds = rd.read_parquet(part_files)
+    # column pushdown: curate_corpus projects to (id, text[, url]) right
+    # after its filters, so shipping any other column out of the scan is
+    # wasted read bandwidth.  JSONL can't prune (row-wise format — see
+    # sources.read_jsonl).
+    need = [args.id_col, args.text_col]
+    if args.max_per_domain is not None:
+        need.append(args.url_col)
+    need = list(dict.fromkeys(need))
+    if args.partitions > 0:
+        in_ds = rd.read_parquet(part_files, columns=need)
         skip_filters = True
     elif args.input_format == "jsonl":
         from kgforge.sources import read_jsonl
 
         in_ds = read_jsonl(args.input)
     else:
-        in_ds = rd.read_parquet(args.input)
+        in_ds = rd.read_parquet(args.input, columns=need)
     bench = None
     if args.decontam_benchmark:
         if args.decontam_benchmark.endswith(".txt"):

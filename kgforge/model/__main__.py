@@ -51,7 +51,9 @@ def main(argv=None) -> None:
         from .learn import write_model
         from .protocol import M3Learner, get_learner
 
-        triples = rd.read_parquet(args.triples)
+        # column pushdown: every learner consumes only (subj, pred, obj);
+        # n_sources / first_url would ride the scan and be dropped
+        triples = rd.read_parquet(args.triples, columns=["subj", "pred", "obj"])
         if args.rules_file and args.tier != "m3":
             ap.error(f"--rules-file requires --tier m3 (got --tier {args.tier})")
         if args.tier == "m3" and args.rules_file:

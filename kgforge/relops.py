@@ -60,6 +60,13 @@ def broadcast_interval_join(
     per task.  ``how='left'`` keeps unmatched probe rows with null
     dimension columns.  Overlapping windows multiply rows, exactly as
     the equivalent SQL non-equi join does.
+
+    Arrow-native (round 5; the last pandas kernel in the join family):
+    the equi-prefix runs as a zero-copy acero ``pa.Table.join`` per
+    batch — the same kernel ``smart_join``'s broadcast strategy uses —
+    and the interval predicate is a vectorized ``pyarrow.compute``
+    post-filter.  SQL key semantics: a NULL key matches nothing (the
+    old pandas ``merge`` matched NaN to NaN).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -69,28 +76,50 @@ def broadcast_interval_join(
     for c in keys + [start_col, end_col]:
         if c not in dim.columns:
             raise ValueError(f"dim is missing column {c!r}")
-    dim = dim.reset_index(drop=True)
+    dim_t = pa.Table.from_pandas(dim.reset_index(drop=True), preserve_index=False)
 
-    def join_batch(b: pd.DataFrame) -> pd.DataFrame:
+    def join_batch(t: pa.Table) -> pa.Table:
         # dim columns that collide with probe columns get the suffix
         # (probe keeps the bare name, like SQL's qualified projection)
-        overlap = (set(b.columns) & set(dim.columns)) - set(keys)
-        d = dim.rename(columns={c: c + suffix for c in overlap})
+        overlap = (set(t.column_names) & set(dim_t.column_names)) - set(keys)
+        d = dim_t.rename_columns(
+            [c + suffix if c in overlap else c for c in dim_t.column_names]
+        )
+        # acero requires exactly matching key types; the dim side is
+        # small, so casting it per batch is free
+        for k in keys:
+            if d[k].type != t[k].type:
+                d = d.set_column(
+                    d.column_names.index(k), k, pc.cast(d[k], t[k].type)
+                )
         s_col = start_col + suffix if start_col in overlap else start_col
         e_col = end_col + suffix if end_col in overlap else end_col
-        b = b.reset_index(drop=True)
-        b["__rid"] = np.arange(len(b), dtype=np.int64)
-        m = b.merge(d, on=keys, how="inner")
+        probe = t.append_column(
+            "__rid", pa.array(np.arange(t.num_rows), pa.int64())
+        )
+        m = probe.join(d, keys=keys, join_type="inner")
         ts = m[probe_col]
-        mask = (m[s_col] <= ts) & ((ts < m[e_col]) if closed == "left" else (ts <= m[e_col]))
-        m = m[mask]
+        in_window = pc.and_kleene(
+            pc.less_equal(m[s_col], ts),
+            pc.less(ts, m[e_col]) if closed == "left" else pc.less_equal(ts, m[e_col]),
+        )
+        m = m.filter(pc.fill_null(in_window, False))
         if how == "left":
-            missing = b[~b["__rid"].isin(m["__rid"])]
-            if len(missing):
-                m = pd.concat([m, missing], ignore_index=True)
-        return m.drop(columns="__rid")
+            matched = m["__rid"].combine_chunks()
+            missing = probe.filter(
+                pc.invert(pc.is_in(probe["__rid"], value_set=matched))
+            )
+            if missing.num_rows:
+                for name in m.column_names:
+                    if name not in missing.column_names:
+                        missing = missing.append_column(
+                            name,
+                            pa.nulls(missing.num_rows, m.schema.field(name).type),
+                        )
+                m = pa.concat_tables([m, missing.select(m.column_names)])
+        return m.drop_columns(["__rid"])
 
-    return ds.map_batches(join_batch, batch_format="pandas")
+    return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,46 @@ def test_ann_cli_build_search_recall(tmp_path):
     got = pq.read_table(res)
     assert got.num_rows == 10  # 2 queries x k=5 (nprobe=all: exact)
     assert set(got.schema.names) == {"query_idx", "vec_id", "cosine", "rank"}
+
+
+def test_ivf_multi_assign_exact_at_full_probe(emb_ds, qvecs):
+    """assign_top > 1 replicates rows across cells; at nprobe=all the
+    result must STILL be exact-equal to brute force — the driver merge
+    deduplicates the replicated (id, cosine) rows before ranking."""
+    cent = train_centroids(emb_ds, n_centroids=16, seed=3)
+    brute = brute_force_topk(emb_ds, qvecs, k=10)
+    full = ivf_topk(emb_ds, cent, qvecs, k=10, nprobe=len(cent), assign_top=3)
+    cols = ["query_idx", "vec_id", "rank"]
+    assert full[cols].reset_index(drop=True).equals(brute[cols].reset_index(drop=True))
+
+
+def test_ivf_multi_assign_recall_not_worse(emb_ds, qvecs):
+    """At a fixed nprobe the multi-assigned index's probed union is a
+    superset of the single-assigned one, so recall can only go up."""
+    from kgforge.ann import ivf_recall_report
+
+    r1 = ivf_recall_report(emb_ds, qvecs, k=10, nprobes=(2, 4), n_centroids=16)
+    r3 = ivf_recall_report(
+        emb_ds, qvecs, k=10, nprobes=(2, 4), n_centroids=16, assign_top=3
+    )
+    for np_ in (2, 4):
+        a = float(r1.loc[r1["nprobe"] == np_, "recall_at_k"].iloc[0])
+        b = float(r3.loc[r3["nprobe"] == np_, "recall_at_k"].iloc[0])
+        assert b >= a, (np_, a, b)
+
+
+def test_ivf_build_multi_assign_round_trip(emb_ds, qvecs, tmp_path):
+    """Persisted multi-assigned index: each row lands in assign_top cell
+    dirs; search dedups and at nprobe=all equals brute force."""
+    from kgforge.ann import ivf_build, ivf_search_index
+
+    path = str(tmp_path / "ivf_ma")
+    cent = ivf_build(emb_ds, path, n_centroids=8, assign_top=2)
+    import ray.data as rd
+
+    n_stored = rd.read_parquet(f"{path}/cells").count()
+    assert n_stored == 2 * emb_ds.count()  # replicated storage, documented trade
+    brute = brute_force_topk(emb_ds, qvecs, k=5)
+    got = ivf_search_index(path, qvecs, k=5, nprobe=len(cent))
+    cols = ["query_idx", "vec_id", "rank"]
+    assert got[cols].reset_index(drop=True).equals(brute[cols].reset_index(drop=True))

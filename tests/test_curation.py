@@ -365,8 +365,12 @@ def test_curate_corpus_streaming_mode_byte_identical(ray_session, monkeypatch):
         ia = sorted(map(tuple, counted.new_index.to_pandas().values.tolist()))
         ib = sorted(map(tuple, streamed.new_index.to_pandas().values.tolist()))
         assert ia == ib
-        # streaming skips per-stage counts but keeps the decision count
-        assert "after_neardup" not in streamed.stats
+        # streaming skips the EXTRA per-stage pins but still records the
+        # free counts: the pre-neardup pin's metadata read and the
+        # drop-count arithmetic — and they must agree with counted mode
+        assert streamed.stats["after_exact_dedup"] == counted.stats["after_exact_dedup"]
+        assert streamed.stats["after_neardup"] == counted.stats["after_neardup"]
+        assert "after_lang_quality" not in streamed.stats
         assert "neardup_dropped" in streamed.stats
         assert streamed.packed is not None
         # consuming docs a second time must still work (no dangling lazy
@@ -662,13 +666,14 @@ def test_curate_corpus_semdedup_stage(ray_session):
     assert s["semdedup_dropped"] == 1
     assert s["after_semdedup"] == s["after_neardup"] - 1
 
-    # streaming mode: same survivors, no per-stage counts
+    # streaming mode: same survivors; the free drop-count arithmetic
+    # still records after_semdedup and it agrees with counted mode
     res_s = curate_corpus(
         ds, min_quality=0.2, neardup_threshold=0.6, pack=False,
         semdedup_threshold=0.95, stats="none",
     )
     assert set(res_s.docs.to_pandas()["doc_id"]) == out_ids
-    assert "after_semdedup" not in res_s.stats
+    assert res_s.stats["after_semdedup"] == s["after_semdedup"]
     assert res_s.stats["semdedup_dropped"] == 1
 
 
@@ -927,3 +932,27 @@ def test_curate_corpus_semdedup_survives_empty_survivor_set(ray_session):
     assert res.stats["after_lang_quality"] == 0
     assert res.stats["semdedup_dropped"] == 0
     assert res.docs.count() == 0
+
+
+def test_curate_corpus_stats_auto_default(ray_session, monkeypatch):
+    """stats='auto' (the new default): counts for small metadata-countable
+    inputs, streaming for lazy lineages and above the row threshold —
+    the scale-safe plan is opt-out, not opt-in (VERDICT r4 #3)."""
+    docs = _corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    res = curate_corpus(ds, min_quality=0.2, pack=False)
+    assert res.stats["stats_mode"] == "counts"
+    assert "after_lang_quality" in res.stats
+    # a lazy lineage has no metadata count — streams by default (an auto
+    # count() would execute the whole lineage just to pick a plan)
+    lazy = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    res2 = curate_corpus(lazy, min_quality=0.2, pack=False)
+    assert res2.stats["stats_mode"] == "none"
+    # row threshold: above it (here forced to 0) even known counts stream
+    monkeypatch.setenv("KGFORGE_CURATION_COUNTS_ROWS", "0")
+    res3 = curate_corpus(ds, min_quality=0.2, pack=False)
+    assert res3.stats["stats_mode"] == "none"
+    # streamed results still match the counted ones row for row
+    a = res.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    b = res3.docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
