@@ -91,7 +91,12 @@ def exact_dedup_join(ds, num_partitions: int | None = None):
     @ray.remote
     def _key_block(t: pa.Table, bid: int) -> pa.Table:
         base = _sort_key(t)
-        rid = pa.array([f"{bid:010d}{i:010d}" for i in range(t.num_rows)], pa.string())
+        rid = pa.array(
+            np.char.add(
+                f"{bid:010d}",
+                np.char.zfill(np.arange(t.num_rows).astype("U10"), 10),
+            )
+        )
         key = pc.binary_join_element_wise(base, rid, "|")
         return t.append_column("__dedup_key", key)
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -140,16 +141,20 @@ def probe_and_dim(draw):
 def _join_kernel(probe: pd.DataFrame, dim: pd.DataFrame, how: str) -> pd.DataFrame:
     """Run broadcast_interval_join's per-batch function directly (no
     Ray): capture the map_batches closure with a fake Dataset and call
-    it on one pandas batch."""
+    it on one batch in whatever format the kernel declared."""
     from kgforge.relops import broadcast_interval_join as bij
 
     class FakeDS:
         def map_batches(self, fn, batch_format):
             self.fn = fn
+            self.batch_format = batch_format
             return self
 
     fake = FakeDS()
     bij(fake, dim, "k", "ts", "lo", "hi", how=how)
+    if fake.batch_format == "pyarrow":
+        batch = pa.Table.from_pandas(probe, preserve_index=False)
+        return fake.fn(batch).to_pandas()
     return fake.fn(probe.copy())
 
 
