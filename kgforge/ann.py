@@ -242,7 +242,14 @@ def _probe_topk(assigned, q: np.ndarray, probe_cells: np.ndarray, k: int,
             cos = mat[mask] @ q[qi]
             sub_ids = ids[mask]
             # same (-cos, id) tie order as brute_force_topk
-            top = np.lexsort((sub_ids, -cos))[: min(k, mask.sum())]
+            order = np.lexsort((sub_ids, -cos))
+            # a multi-assigned index (assign_top > 1) can replicate the
+            # same row into two probed cells of ONE batch; replicas must
+            # not occupy top-k slots here — the driver merge dedups them
+            # and would then return fewer than k rows from this batch,
+            # dropping true neighbors ranked just past the cut
+            _, first = np.unique(sub_ids[order], return_index=True)
+            top = order[np.sort(first)[: min(k, len(first))]]
             qi_out.extend([qi] * len(top))
             id_out.extend(sub_ids[top].tolist())
             c_out.extend(cos[top].tolist())

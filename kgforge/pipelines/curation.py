@@ -365,8 +365,12 @@ def curate_corpus(
         cur = cur.materialize()
         st["after_neardup"] = cur.count()
     else:
-        # free drop-count arithmetic: ids are unique after exact dedup,
-        # so each drop key removes exactly one row
+        # free drop-count arithmetic: one row per drop key. Exact: ids
+        # are unique at this point for any well-formed corpus (dedup
+        # keeps one survivor per content key). A corpus that reuses one
+        # id across DIFFERENT texts can keep both and this audit stat
+        # overstates survivors by the collision count — counting mode
+        # (stats='counts') measures the truth if that matters
         pre = st.get("after_incremental_dedup", st.get("after_exact_dedup"))
         if pre is not None:
             st["after_neardup"] = pre - n_dropped

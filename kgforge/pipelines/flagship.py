@@ -85,9 +85,10 @@ def run_flagship(
     schema = docs_b.schema()
     fused = schema is not None and "band_h" in schema.names
     docs = docs_b.drop_columns(["band_h"]) if fused else docs_b
-    kept = apply_drop_ds(docs_b, drop_ds)
-    if fused:
-        kept = kept.drop_columns(["band_h"])
+    # apply the drop set to the band-less projection: band_h would only
+    # ride the bloom/anti-join shuffle (128 B/row + an fsl pack/unpack)
+    # to be dropped right after
+    kept = apply_drop_ds(docs, drop_ds)
     # corpus prior pass (unambiguous mention counts) → broadcast with the
     # gazetteer; breaks cosine ties toward the corpus-popular entity
     res = res.with_prior(entity_prior(kept, res))

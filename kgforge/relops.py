@@ -97,7 +97,19 @@ def broadcast_interval_join(
         probe = t.append_column(
             "__rid", pa.array(np.arange(t.num_rows), pa.int64())
         )
+        # acero rejects fixed_size_list payload columns (embeddings, band
+        # keys) in join non-key fields; ride them through as
+        # fixed_size_binary (same pattern as apply_drop_ds)
+        from kgforge.rayutil import fsl_pack, fsl_pack_specs, fsl_unpack
+
+        specs = fsl_pack_specs(probe.schema) + fsl_pack_specs(d.schema)
+        if specs:
+            probe = fsl_pack(probe, specs)
+            d = fsl_pack(d, specs)
         m = probe.join(d, keys=keys, join_type="inner")
+        if specs:
+            m = fsl_unpack(m, specs)
+            probe = fsl_unpack(probe, specs)  # the left branch reuses it
         ts = m[probe_col]
         in_window = pc.and_kleene(
             pc.less_equal(m[s_col], ts),

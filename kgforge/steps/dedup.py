@@ -123,7 +123,16 @@ def minhash_band_ds(ds, id_col: str = "url_norm", text_col: str = "extracted_tex
     values are bit-identical to the recompute (deterministic seeds), so
     both forms feed the same collision scan."""
     schema = ds.schema()
-    if schema is not None and "band_h" in schema.names:
+    # the fused shortcut is only valid when the bands were computed from
+    # the SAME column this call is asked to band: extract_docs(bands=True)
+    # hashes extracted_text, so a caller banding any other column (or a
+    # pipeline that rewrote the text after extraction must drop band_h)
+    # gets an honest recompute instead of stale keys
+    if (
+        schema is not None
+        and "band_h" in schema.names
+        and text_col == "extracted_text"
+    ):
         cols = [id_col, "band_h"]
         proj = ds.select_columns(cols)
         if id_col != "url_norm":

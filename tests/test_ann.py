@@ -185,3 +185,33 @@ def test_ivf_build_multi_assign_round_trip(emb_ds, qvecs, tmp_path):
     got = ivf_search_index(path, qvecs, k=5, nprobe=len(cent))
     cols = ["query_idx", "vec_id", "rank"]
     assert got[cols].reset_index(drop=True).equals(brute[cols].reset_index(drop=True))
+
+
+def test_ivf_multi_assign_single_batch_replicas_do_not_crowd_topk():
+    """A multi-assigned index can hold BOTH replicas of a row in one
+    batch (single-block corpus, both its cells probed): the per-batch
+    top-k cut must dedup ids first, or replicas occupy k slots and the
+    driver merge returns fewer than k rows, silently dropping true
+    neighbors ranked just past the cut."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 8).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t)  # ONE block: all replicas share every batch
+    q = vecs[:2] + 0.01
+    cent = train_centroids(ds, n_centroids=2, sample_mod=1, seed=3)
+    brute = brute_force_topk(ds, q, k=3)
+    got = ivf_topk(ds, cent, q, k=3, nprobe=len(cent), assign_top=2)
+    cols = ["query_idx", "vec_id", "rank"]
+    assert got[cols].reset_index(drop=True).equals(
+        brute[cols].reset_index(drop=True)
+    )
+    # every query must get its full k — the pre-fix plan returned fewer
+    assert (got.groupby("query_idx").size() == 3).all()

@@ -247,3 +247,36 @@ def test_apply_drop_ds_distributed_fixed_size_list_payload(ray_session):
     assert sorted(out["doc_id"]) == [i for i in range(n) if i not in (3, 7, 8)]
     by_id = {r.doc_id: list(r.embedding) for r in out.itertuples()}
     assert by_id[5] == [5.0, -5.0] and by_id[29] == [29.0, -29.0]
+
+
+def test_fused_band_shortcut_requires_matching_text_col(ray_session):
+    """minhash_band_ds must take the carried-band_h projection ONLY when
+    asked to band extracted_text (the column the fused pass hashed);
+    any other text_col gets an honest recompute, not stale keys."""
+    import pyarrow as pa
+
+    from kgforge.steps.dedup import minhash_band_ds
+
+    pages = rd.from_arrow(pages_table(60)).repartition(2)
+    pages = pages.map_batches(add_url_norm, batch_format="pyarrow")
+    fused = exact_dedup(extract_docs(pages, bands=True).materialize())
+    # band a DIFFERENT column on the same (band_h-carrying) docs
+    other = fused.map_batches(
+        lambda t: t.append_column(
+            "alt_text", pa.array([s[::-1] for s in t["extracted_text"].to_pylist()])
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bands_df(ds):
+        df = ds.to_pandas()
+        df["band_h"] = df["band_h"].map(tuple)
+        return df.sort_values("url_norm", ignore_index=True)
+
+    got = bands_df(minhash_band_ds(other, text_col="alt_text"))
+    carried = bands_df(fused.select_columns(["url_norm", "band_h"]))
+    assert not got["band_h"].equals(carried["band_h"])  # recomputed, not stale
+    # and the recompute matches banding the alt column from scratch
+    plain = other.drop_columns(["band_h"])
+    want = bands_df(minhash_band_ds(plain, text_col="alt_text"))
+    pd.testing.assert_frame_equal(got, want)

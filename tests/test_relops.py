@@ -451,3 +451,28 @@ def test_quantile_filter_band(ray_session):
 
     with _pytest.raises(ValueError):
         quantile_filter(ds, "v", 0.9, 0.1)
+
+
+def test_interval_join_fixed_size_list_payload(ray_session):
+    """The Arrow-native kernel must carry fixed_size_list payload
+    columns (embeddings) through the acero join — acero rejects them as
+    non-key fields, so they ride packed as fixed_size_binary (the
+    pandas kernel this replaced accepted them silently)."""
+    probe = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([5, 50, 5], pa.int64()),
+            "emb": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32(), 2)
+            ),
+        }
+    )
+    dim = pd.DataFrame({"k": [1, 2], "lo": [0, 0], "hi": [10, 10], "tag": ["a", "b"]})
+    out = (
+        broadcast_interval_join(rd.from_arrow(probe), dim, "k", "ts", "lo", "hi", how="left")
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    assert out["tag"].tolist() == ["a", None, "b"]
+    assert [list(e) for e in out["emb"]] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
